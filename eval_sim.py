@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Simulation evaluation entry point.
+
+Equivalent of the reference's eval_sim.py (eval_sim.py:20-92): load a
+checkpoint (this framework's orbax format, which embeds cfg + normalizer, or a
+reference torch .ckpt via the import adapters), rebuild the policy with the
+EMA weights, run the task's env runner, and dump ``eval_log_<name>.json``.
+"""
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--checkpoint", required=True)
+    parser.add_argument("-o", "--output_dir", required=True)
+    parser.add_argument("--config-name", default="uva_pusht")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from unified_video_action_tpu.config import CONFIG_ROOT, load_config
+    from unified_video_action_tpu.training.workspace import TrainWorkspace
+    from unified_video_action_tpu.training import checkpoint as ckpt_lib
+    from unified_video_action_tpu.training.optim import make_optimizer
+    from unified_video_action_tpu.training.train_state import create_train_state
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    ckpt_meta_path = os.path.join(args.checkpoint, "meta.json")
+    if os.path.isdir(args.checkpoint) and os.path.exists(ckpt_meta_path):
+        with open(ckpt_meta_path) as f:
+            meta = json.load(f)
+        cfg = meta.get("cfg")
+        if cfg is None:
+            cfg = load_config(args.config_name, overrides=args.overrides)
+        else:
+            from unified_video_action_tpu.config import Cfg
+
+            cfg = Cfg.wrap(cfg)
+    else:
+        cfg = load_config(args.config_name, overrides=args.overrides)
+
+    ws = TrainWorkspace(cfg, output_dir=args.output_dir)
+    policy = ws.policy
+    params = policy.init_params(jax.random.PRNGKey(0))
+    tx = make_optimizer()
+    state = create_train_state(policy, params, tx)
+    if os.path.isdir(args.checkpoint) and os.path.exists(ckpt_meta_path):
+        state, meta, normalizer = ckpt_lib.load_checkpoint(args.checkpoint, state)
+        if normalizer is not None:
+            policy.set_normalizer(normalizer)
+    elif args.checkpoint.endswith((".ckpt", ".pth")):
+        # reference torch checkpoint: policy-level partial load
+        policy.pretrained_model_path = args.checkpoint
+        params = policy.load_pretrained(params)
+        state = create_train_state(policy, params, tx)
+        state = state.replace(ema_params=state.mar_params)
+
+    eval_params = {"mar": state.ema_params, "vae": state.vae_params}
+
+    er_cfg = dict(cfg["task"]["env_runner"])
+    er_cfg.pop("_target_", None)
+    from unified_video_action_tpu.runners.pusht_runner import PushTImageRunner
+
+    runner = PushTImageRunner(output_dir=args.output_dir, **er_cfg)
+    log = runner.run(policy, eval_params, jax.random.PRNGKey(0))
+
+    name = os.path.basename(os.path.normpath(args.checkpoint))
+    out_path = os.path.join(args.output_dir, f"eval_log_{name}.json")
+    with open(out_path, "w") as f:
+        json.dump(log, f, indent=2, sort_keys=True)
+    print(json.dumps({k: v for k, v in log.items() if "mean_score" in k}, indent=2))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

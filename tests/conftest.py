@@ -3,8 +3,11 @@ multi-chip code paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. The environment pre-registers
+# the axon TPU plugin (sitecustomize + JAX_PLATFORMS=axon); clearing
+# PALLAS_AXON_POOL_IPS disables that registration so cpu actually wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,3 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+# JAX 0.9 defaults matmul/conv precision low even on CPU; parity tests need
+# exact fp32 (production TPU speed comes from bf16 compute dtypes instead).
+jax.config.update("jax_default_matmul_precision", "highest")

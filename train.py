@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Equivalent of the reference's hydra CLI (train.py:26-68):
+
+    python train.py --config-name=uva_pusht training.debug=true k=v ...
+
+Dotted overrides follow hydra syntax; ``--config-name`` selects the top-level
+yaml under unified_video_action_tpu/config/yaml/.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", default="uva_pusht")
+    parser.add_argument("--config-root", default=None)
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = parser.parse_args(argv)
+
+    from unified_video_action_tpu.config import CONFIG_ROOT, instantiate, load_config
+
+    cfg = load_config(
+        args.config_name,
+        overrides=args.overrides,
+        config_root=args.config_root or CONFIG_ROOT,
+    )
+
+    output_dir = cfg.get("output_dir", "data/outputs/run")
+    os.makedirs(output_dir, exist_ok=True)
+
+    from unified_video_action_tpu.training.workspace import TrainWorkspace
+
+    workspace = TrainWorkspace(cfg, output_dir=output_dir)
+    metrics = workspace.run()
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

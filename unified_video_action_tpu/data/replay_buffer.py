@@ -1,0 +1,131 @@
+"""Episode replay buffer.
+
+Equivalent of the reference's zarr-backed ``ReplayBuffer``
+(common/replay_buffer.py:88-649): a time-major store of ``data/*`` arrays plus
+``meta/episode_ends``. zarr is not part of this framework's dependency set;
+storage is in-memory numpy with an HDF5 (h5py) on-disk format — chunked,
+optionally gzip-compressed, with the same ``data/`` + ``meta/episode_ends``
+layout so datasets convert 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+class ReplayBuffer:
+    def __init__(
+        self,
+        data: Optional[Dict[str, np.ndarray]] = None,
+        episode_ends: Optional[np.ndarray] = None,
+    ):
+        self.data: Dict[str, np.ndarray] = data or {}
+        self.episode_ends: np.ndarray = (
+            np.asarray(episode_ends, dtype=np.int64)
+            if episode_ends is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def n_episodes(self) -> int:
+        return len(self.episode_ends)
+
+    @property
+    def n_steps(self) -> int:
+        return 0 if self.n_episodes == 0 else int(self.episode_ends[-1])
+
+    def keys(self):
+        return self.data.keys()
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return self.data[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.data
+
+    @property
+    def episode_lengths(self) -> np.ndarray:
+        starts = np.concatenate([[0], self.episode_ends[:-1]])
+        return self.episode_ends - starts
+
+    def get_episode(self, idx: int) -> Dict[str, np.ndarray]:
+        start = 0 if idx == 0 else int(self.episode_ends[idx - 1])
+        end = int(self.episode_ends[idx])
+        return {k: v[start:end] for k, v in self.data.items()}
+
+    # -- mutation -----------------------------------------------------------
+
+    def add_episode(self, episode: Dict[str, np.ndarray]) -> None:
+        lengths = {k: len(v) for k, v in episode.items()}
+        assert len(set(lengths.values())) == 1, f"ragged episode: {lengths}"
+        n = next(iter(lengths.values()))
+        for k, v in episode.items():
+            v = np.asarray(v)
+            if k not in self.data:
+                assert self.n_episodes == 0, f"new key {k} after episodes exist"
+                self.data[k] = v.copy()
+            else:
+                self.data[k] = np.concatenate([self.data[k], v], axis=0)
+        self.episode_ends = np.append(self.episode_ends, self.n_steps + n)
+
+    def drop_episode(self) -> None:
+        assert self.n_episodes > 0
+        if self.n_episodes == 1:
+            start = 0
+        else:
+            start = int(self.episode_ends[-2])
+        for k in self.data:
+            self.data[k] = self.data[k][:start]
+        self.episode_ends = self.episode_ends[:-1]
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str, compression: Optional[str] = "gzip") -> None:
+        assert h5py is not None, "h5py required for on-disk replay buffers"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with h5py.File(path, "w") as f:
+            g = f.create_group("data")
+            for k, v in self.data.items():
+                chunks = self._optimal_chunks(v)
+                g.create_dataset(
+                    k, data=v, chunks=chunks,
+                    compression=compression if v.nbytes > 1 << 16 else None,
+                )
+            m = f.create_group("meta")
+            m.create_dataset("episode_ends", data=self.episode_ends)
+
+    @classmethod
+    def load(cls, path: str, keys: Optional[Iterable[str]] = None) -> "ReplayBuffer":
+        assert h5py is not None, "h5py required for on-disk replay buffers"
+        with h5py.File(path, "r") as f:
+            names = list(keys) if keys is not None else list(f["data"].keys())
+            data = {k: f["data"][k][:] for k in names}
+            episode_ends = f["meta"]["episode_ends"][:]
+        return cls(data, episode_ends)
+
+    copy_from_path = load  # reference-compatible alias
+
+    @staticmethod
+    def _optimal_chunks(arr: np.ndarray, target_bytes: int = 2 << 20):
+        """Time-chunking keeping full feature dims (reference
+        get_optimal_chunks semantics: chunk along time only)."""
+        if arr.ndim == 0 or arr.size == 0:
+            return None
+        item = arr.dtype.itemsize * int(np.prod(arr.shape[1:]))
+        t = max(1, min(len(arr), target_bytes // max(item, 1)))
+        return (t,) + arr.shape[1:]
+
+    @classmethod
+    def create_empty(cls) -> "ReplayBuffer":
+        return cls()

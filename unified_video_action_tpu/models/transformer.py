@@ -1,0 +1,118 @@
+"""ViT encoder/decoder blocks for the MAR unified transformer.
+
+Behavioral equivalent of timm's ``vision_transformer.Block`` as used by the
+reference (mar_con_unified.py:200-252): pre-LN (eps=1e-6), multi-head attention
+with a fused qkv projection (qkv_bias=True), 4× GELU MLP, residual adds,
+attention/projection dropout. LayerScale and drop-path are disabled in the
+reference's configuration and therefore omitted.
+
+TPU-first: the fused qkv keeps one big (N, 3D) matmul on the MXU; attention is
+jnp einsum by default with an optional Pallas flash-attention path
+(ops/attention.py) selected via ``attn_impl``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class MultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # "xla" | "pallas"
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        B, N, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+
+        if self.attn_impl == "pallas":
+            from unified_video_action_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v)  # (B, N, H, hd)
+        else:
+            scale = hd ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        out = out.reshape(B, N, D)
+        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
+        return out
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadAttention(
+            self.dim,
+            self.num_heads,
+            self.attn_dropout,
+            self.proj_dropout,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(h, deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = nn.Dropout(self.proj_dropout, deterministic=deterministic)(h)
+        return x + h
+
+
+class TransformerStack(nn.Module):
+    depth: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block_cls(
+                self.dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.attn_dropout,
+                self.proj_dropout,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return x

@@ -1,0 +1,440 @@
+"""UnifiedVideoActionPolicy — the composition root.
+
+Behavioral equivalent of the reference policy
+(policy/unified_video_action_policy.py:33-428): builds the frozen KL-VAE, the
+(optional) frozen CLIP text tower, and the MAR; resolves task modes; provides
+``predict_action`` (obs dict -> action chunk) and ``compute_loss`` (batch ->
+losses); loads reference torch checkpoints via the import adapters.
+
+TPU-native architecture: the policy object is a *static* description (configs,
+modules, normalizer constants). All state lives in a params pytree
+``{"mar": ..., "vae": ...}`` passed explicitly, and the entire
+``predict_action`` path — resize → normalize → VAE encode → MAR encoder/decoder
+→ 100-step action diffusion → unnormalize — is ONE jitted function with
+explicit RNG. The reference pays one host round-trip per diffusion step; here
+the whole chunk is a single device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unified_video_action_tpu.data.normalizer import LinearNormalizer, NormalizerField
+from unified_video_action_tpu.models.mar import MODEL_SIZES, Mar, MarConfig, TASK_MODES
+from unified_video_action_tpu.models.vae import KLVae, LATENT_SCALE, sample_posterior
+from unified_video_action_tpu.models import torch_import
+from unified_video_action_tpu.utils import frames as frame_util
+from unified_video_action_tpu.utils import image as image_util
+from unified_video_action_tpu.utils.language import get_text_encoder
+
+Array = jax.Array
+
+
+def _cfg_get(d, key, default=None):
+    v = d.get(key, default) if isinstance(d, dict) else getattr(d, key, default)
+    return default if v is None else v
+
+
+class UnifiedVideoActionPolicy:
+    def __init__(
+        self,
+        shape_meta: dict,
+        vae_model_params: dict,
+        autoregressive_model_params: dict,
+        action_model_params: dict,
+        n_action_steps: int = 8,
+        shift_action: bool = True,
+        language_emb_model: Optional[str] = None,
+        task_name: Optional[str] = None,
+        task_modes: Tuple[str, ...] = (),
+        normalizer_type: str = "all",
+        selected_training_mode: Optional[str] = None,
+        use_history_action: Optional[bool] = None,
+        use_proprioception: Optional[bool] = None,
+        action_mask_ratio: float = 0.5,
+        different_history_freq: Optional[bool] = None,
+        predict_wrist_img: Optional[bool] = None,
+        predict_proprioception: Optional[bool] = None,
+        compute_dtype: str = "bfloat16",
+        attn_impl: str = "xla",
+        optimizer: Optional[dict] = None,
+        **kwargs,
+    ):
+        self.task_name = task_name or "pusht"
+        self.n_action_steps = n_action_steps
+        self.shift_action = shift_action
+        self.language_emb_model = language_emb_model
+        self.normalizer_type = normalizer_type
+        self.use_history_action = bool(use_history_action)
+        self.use_proprioception = bool(use_proprioception)
+        self.different_history_freq = bool(different_history_freq)
+        self.optimizer_cfg = optimizer or {}
+        self.amp = autoregressive_model_params
+
+        action_shape = _cfg_get(_cfg_get(shape_meta, "action", {}), "shape", [2])
+        self.action_dim = int(action_shape[0])
+
+        dtype = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else jnp.float32
+
+        model_size = _cfg_get(self.amp, "model_size", "mar_base")
+        if model_size == "custom":
+            size_kwargs = {
+                k: int(_cfg_get(self.amp, k))
+                for k in (
+                    "encoder_embed_dim", "encoder_depth", "encoder_num_heads",
+                    "decoder_embed_dim", "decoder_depth", "decoder_num_heads",
+                )
+            }
+        else:
+            size_kwargs = MODEL_SIZES[model_size]
+        proprio_dim = {"umi": 16, "pusht": 2}.get(
+            next((k for k in ("umi", "pusht") if k in self.task_name), ""), 9
+        )
+        self.mar_cfg = MarConfig(
+            img_size=int(_cfg_get(self.amp, "img_size", 256)),
+            vae_stride=int(_cfg_get(self.amp, "vae_stride", 16)),
+            patch_size=int(_cfg_get(self.amp, "patch_size", 1)),
+            vae_embed_dim=int(_cfg_get(self.amp, "vae_embed_dim", 16)),
+            mask_ratio_min=float(_cfg_get(self.amp, "mask_ratio_min", 0.7)),
+            label_drop_prob=float(_cfg_get(self.amp, "label_drop_prob", 0.1)),
+            attn_dropout=float(_cfg_get(self.amp, "attn_dropout", 0.1)),
+            proj_dropout=float(_cfg_get(self.amp, "proj_dropout", 0.1)),
+            diffloss_d=int(_cfg_get(self.amp, "diffloss_d", 6)),
+            diffloss_w=int(_cfg_get(self.amp, "diffloss_w", 1024)),
+            diffloss_act_d=int(_cfg_get(self.amp, "diffloss_act_d", 6)),
+            diffloss_act_w=int(_cfg_get(self.amp, "diffloss_act_w", 1024)),
+            num_sampling_steps=str(_cfg_get(self.amp, "num_sampling_steps", "100")),
+            act_diff_training_steps=int(
+                _cfg_get(self.amp, "act_diff_training_steps", 1000)
+            ),
+            act_diff_testing_steps=str(
+                _cfg_get(self.amp, "act_diff_testing_steps", "100")
+            ),
+            act_model_type=_cfg_get(action_model_params, "act_model_type", "conv_fc"),
+            predict_video=bool(_cfg_get(self.amp, "predict_video", True)),
+            predict_action=bool(_cfg_get(action_model_params, "predict_action", False)),
+            action_dim=self.action_dim,
+            use_proprioception=self.use_proprioception,
+            use_history_action=self.use_history_action,
+            action_mask_ratio=action_mask_ratio,
+            different_history_freq=self.different_history_freq,
+            predict_proprioception=bool(predict_proprioception),
+            proprio_dim=proprio_dim,
+            proprio_pred_dim={"umi": 6, "toolhang": 9}.get(self.task_name, 0),
+            proprio_use_image="toolhang" in self.task_name,
+            task_name=self.task_name,
+            language_emb_model=language_emb_model,
+            grad_checkpointing=bool(_cfg_get(self.amp, "grad_checkpointing", False)),
+            dtype=dtype,
+            attn_impl=attn_impl,
+            **size_kwargs,
+        )
+        self.mar = Mar(self.mar_cfg)
+
+        ddconfig = _cfg_get(vae_model_params, "ddconfig", {})
+        self.vae = KLVae(
+            embed_dim=int(_cfg_get(ddconfig, "vae_embed_dim", 16)),
+            ch_mult=tuple(_cfg_get(ddconfig, "ch_mult", (1, 1, 2, 2, 4))),
+            resolution=self.mar_cfg.img_size,
+            ch=int(_cfg_get(ddconfig, "ch", 128)),
+            dtype=dtype,
+        )
+        self.vae_path = _cfg_get(vae_model_params, "autoencoder_path", None)
+        self.pretrained_model_path = _cfg_get(self.amp, "pretrained_model_path", None)
+
+        self.text_encoder, self.max_length = get_text_encoder(
+            self.task_name, language_emb_model
+        )
+
+        # task-mode resolution (reference policy:122-138)
+        if selected_training_mode is None:
+            self.task_modes = (
+                tuple(task_modes) if task_modes else TASK_MODES
+            )
+        elif selected_training_mode == "policy_model_full_dynamics_model":
+            self.task_modes = ("policy_model", "full_dynamic_model")
+        else:
+            self.task_modes = (selected_training_mode,)
+
+        self.normalizer = LinearNormalizer(
+            {"action": NormalizerField.identity(self.action_dim)}
+        )
+        self._predict_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # params
+    # ------------------------------------------------------------------
+
+    def init_params(self, key: Array) -> Dict[str, Any]:
+        c = self.mar_cfg
+        km, kv, kd = jax.random.split(key, 3)
+        B, T = 1, c.n_frames
+        lat = jnp.zeros((B, T, c.vae_embed_dim, c.seq_hw, c.seq_hw))
+        actions = jnp.zeros((B, c.num_action_tokens, c.action_dim))
+        text = (
+            jnp.zeros((B, 512)) if c.language_emb_model == "clip" else None
+        )
+        proprio = None
+        if c.use_proprioception:
+            proprio = {"state": jnp.zeros((B, 4, c.proprio_dim))}
+            if c.proprio_use_image:
+                proprio["second_image"] = lat
+        proprio_target = (
+            jnp.zeros((B, c.num_action_tokens, c.proprio_pred_dim))
+            if c.predict_proprioception
+            else None
+        )
+        mar_params = self.mar.init(
+            {"params": km, "dropout": kd},
+            lat, lat, kd, actions,
+            text_latents=text, proprio=proprio,
+            proprio_target=proprio_target,
+            method=Mar.init_forward,
+        )["params"]
+        vae_params = self.vae.init(
+            kv,
+            jnp.zeros((1, 3, self.mar_cfg.img_size, self.mar_cfg.img_size)),
+            kv,
+        )["params"]
+        params = {"mar": mar_params, "vae": vae_params}
+        params = self.load_pretrained(params)
+        return params
+
+    def load_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Load reference torch checkpoints if the configured paths exist
+        (size-matched partial load, reference policy:140-218)."""
+        if self.vae_path and os.path.exists(self.vae_path):
+            params["vae"] = self._load_vae_ckpt(self.vae_path, params["vae"])
+        p = self.pretrained_model_path
+        if p and os.path.exists(p):
+            params["mar"] = self._load_mar_ckpt(p, params["mar"])
+        return params
+
+    def _load_vae_ckpt(self, path, init_tree):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("model", sd)
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        imported = torch_import.import_kl_vae(sd)
+        merged, skipped = torch_import.merge_params(init_tree, imported)
+        if skipped:
+            print(f"[vae import] skipped {len(skipped)} leaves: {skipped[:5]}")
+        return jax.tree.map(jnp.asarray, merged)
+
+    def _load_mar_ckpt(self, path, init_tree):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if "state_dicts" in ckpt:  # framework/reference checkpoint
+            sd = {
+                k[len("model."):]: v
+                for k, v in ckpt["state_dicts"]["ema_model"].items()
+                if k.startswith("model.")
+            }
+        elif "model_ema" in ckpt:  # MAR pretrained release
+            sd = ckpt["model_ema"]
+        else:
+            raise ValueError(f"unrecognized checkpoint format: {list(ckpt)[:5]}")
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        c = self.mar_cfg
+        imported = torch_import.import_mar(
+            sd,
+            encoder_depth=c.encoder_depth,
+            decoder_depth=c.decoder_depth,
+            diffloss_depth=c.diffloss_d,
+            diffloss_act_depth=c.diffloss_act_d,
+        )
+        merged, skipped = torch_import.merge_params(init_tree, imported)
+        if skipped:
+            print(f"[mar import] skipped {len(skipped)} leaves (size/key mismatch)")
+        return jax.tree.map(jnp.asarray, merged)
+
+    def set_normalizer(self, normalizer: LinearNormalizer) -> None:
+        self.normalizer = normalizer
+        self._predict_cache.clear()
+
+    # ------------------------------------------------------------------
+    # VAE latent extraction
+    # ------------------------------------------------------------------
+
+    def _encode_frames(self, vae_params, frames: Array, key: Array) -> Array:
+        """(B, T, 3, H, W) in [-1,1] -> (B, T, C, h, w) scaled latents."""
+        B, T = frames.shape[:2]
+        flat = frames.reshape(B * T, *frames.shape[2:])
+        mean, logvar = self.vae.apply(
+            {"params": vae_params}, flat, method=KLVae.encode
+        )
+        z = sample_posterior(mean, logvar, key) * LATENT_SCALE
+        return z.reshape(B, T, *z.shape[1:])
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def _build_predict_fn(self):
+        c = self.mar_cfg
+        act_field = self.normalizer["action"] if self.normalizer_type == "all" else None
+        scale = None if act_field is None else jnp.asarray(act_field.scale)
+        offset = None if act_field is None else jnp.asarray(act_field.offset)
+        temperature = float(_cfg_get(self.amp, "temperature", 1.0))
+
+        def fn(params, image, key, text_latents=None, proprio=None,
+               history_actions=None):
+            # image: (B, T_obs, 3, H, W) in [0,1]
+            image = image_util.resize_video(image, c.img_size)
+            T_obs = image.shape[1]
+            idx = frame_util.select_frame_indices(T_obs, eval=True)
+            frames = image[:, idx]
+            frames = image_util.to_model_range(frames)
+            k_vae, k_samp = jax.random.split(key)
+            cond = self._encode_frames(params["vae"], frames, k_vae)
+            if history_actions is not None and scale is not None:
+                history_actions = history_actions * scale + offset
+            nact = self.mar.apply(
+                {"params": params["mar"]},
+                cond,
+                k_samp,
+                temperature=temperature,
+                history_actions=history_actions,
+                text_latents=text_latents,
+                proprio=proprio,
+                method=Mar.sample_policy,
+            )
+            nact = nact[..., : self.action_dim]
+            if scale is not None:
+                nact = (nact - offset) / scale
+            return nact
+
+        return jax.jit(fn)
+
+    def predict_action(
+        self,
+        params: Dict[str, Any],
+        obs_dict: Dict[str, np.ndarray],
+        key: Array,
+        language_goal: Optional[Any] = None,
+    ) -> Dict[str, np.ndarray]:
+        """obs_dict: {"image": (B,T,3,H,W) float [0,1], ...} -> {"action",
+        "action_pred"} (reference policy:221-320)."""
+        obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
+        image = jnp.asarray(obs_dict["image"])
+
+        text_latents = None
+        if self.language_emb_model is not None:
+            if "umi" in self.task_name:
+                text_latents = jnp.asarray(language_goal)
+            elif language_goal is not None:
+                text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
+
+        history_actions = None
+        if self.use_history_action and "past_action" in obs_dict:
+            history_actions = jnp.asarray(obs_dict["past_action"])
+
+        proprio = self._build_proprio_eval(obs_dict)
+
+        if "predict" not in self._predict_cache:
+            self._predict_cache["predict"] = self._build_predict_fn()
+        action_pred = self._predict_cache["predict"](
+            params, image, key,
+            text_latents=text_latents, proprio=proprio,
+            history_actions=history_actions,
+        )
+        action_pred = np.asarray(jax.device_get(action_pred))
+        return {
+            "action": action_pred[:, : self.n_action_steps],
+            "action_pred": action_pred,
+        }
+
+    def _build_proprio_eval(self, obs_dict):
+        if not self.use_proprioception:
+            return None
+        if "umi" in self.task_name:
+            keys = [
+                "robot0_eef_pos",
+                "robot0_eef_rot_axis_angle",
+                "robot0_gripper_width",
+                "robot0_eef_rot_axis_angle_wrt_start",
+            ]
+            state = np.concatenate([np.asarray(obs_dict[k]) for k in keys], axis=-1)
+            return {"state": jnp.asarray(state)}
+        if "pusht" in self.task_name:
+            return {"state": jnp.asarray(obs_dict["agent_pos"])}
+        keys = ["robot0_eef_pos", "robot0_eef_quat", "robot0_gripper_qpos"]
+        state = np.concatenate([np.asarray(obs_dict[k]) for k in keys], axis=-1)
+        out = {"state": jnp.asarray(state)}
+        if "wrist_image" in obs_dict:
+            out["second_image_raw"] = jnp.asarray(obs_dict["wrist_image"])
+        return out
+
+    # ------------------------------------------------------------------
+    # training loss
+    # ------------------------------------------------------------------
+
+    def compute_loss(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, Any],
+        key: Array,
+        task_mode: str,
+        frame_indices: Optional[np.ndarray] = None,
+    ):
+        """One task-mode training loss. ``batch``: {"obs": {"image": (B,T,3,H,W)
+        [0,1], ...}, "action": (B,T,A)} already on device.
+
+        Frame indices are static per call (host-chosen for
+        different_history_freq); VAE encoding is frozen (stop-gradient).
+        """
+        c = self.mar_cfg
+        obs = batch["obs"]
+        image = image_util.resize_video(obs["image"], c.img_size)
+        B, T = image.shape[:2]
+
+        actions = batch["action"]
+        if self.normalizer_type == "all":
+            f = self.normalizer["action"]
+            actions = actions * jnp.asarray(f.scale) + jnp.asarray(f.offset)
+
+        if frame_indices is None:
+            frame_indices = frame_util.select_frame_indices(T, eval=False)
+        frames = image[:, jnp.asarray(frame_indices)]
+        frames = image_util.to_model_range(frames)
+
+        k_vae1, k_vae2, k_fwd = jax.random.split(key, 3)
+        n_sel = len(frame_indices)
+        cond_frames = frames[:, : n_sel // 2]
+        target_frames = frames[:, n_sel // 2 :]
+        cond = jax.lax.stop_gradient(
+            self._encode_frames(params["vae"], cond_frames, k_vae1)
+        )
+        target = jax.lax.stop_gradient(
+            self._encode_frames(params["vae"], target_frames, k_vae2)
+        )
+
+        history, future = frame_util.split_trajectory(
+            actions, T, self.shift_action, self.use_history_action
+        )
+
+        proprio = None  # per-task proprio wiring lands with the umi/toolhang datasets
+
+        loss, video_loss, act_loss = self.mar.apply(
+            {"params": params["mar"]},
+            target, cond, task_mode, k_fwd,
+            history_actions=history,
+            actions=future,
+            text_latents=batch.get("language_latents"),
+            proprio=proprio,
+            train=True,
+            rngs={"dropout": jax.random.fold_in(k_fwd, 7)},
+        )
+        return loss, (video_loss, act_loss)
+
+    def choose_task_mode(self, rng: np.random.Generator) -> str:
+        """Host-side per-batch mode choice (reference uses random.choice)."""
+        return self.task_modes[rng.integers(len(self.task_modes))]

@@ -1,0 +1,137 @@
+"""Checkpoint save/restore + top-k management.
+
+Equivalent of the reference's dill checkpoint payload + TopKCheckpointManager
+(workspace/base_workspace.py:33-124, common/checkpoint_util.py:5-60):
+a checkpoint carries {mar params, EMA params, optimizer state, step, epoch},
+the resolved config, and the fitted normalizer — so checkpoints double as the
+deployment format. Storage is orbax (async-capable, TPU-native) plus sidecar
+json/npz for cfg and normalizer."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from unified_video_action_tpu.data.normalizer import LinearNormalizer
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    cfg: Optional[dict] = None,
+    normalizer: Optional[LinearNormalizer] = None,
+    epoch: int = 0,
+) -> None:
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "step": state.step,
+        "mar_params": state.mar_params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(os.path.join(path, "state"), payload)
+    ckptr.wait_until_finished()
+    meta = {"epoch": int(epoch), "step": int(jax.device_get(state.step))}
+    if cfg is not None:
+        meta["cfg"] = cfg
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    if normalizer is not None:
+        normalizer.save(os.path.join(path, "normalizer.npz"))
+
+
+def load_checkpoint(path: str, state):
+    """Restore into an existing state template; returns (state, meta, normalizer)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": state.step,
+        "mar_params": state.mar_params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+    }
+    restored = ckptr.restore(os.path.join(path, "state"), template)
+    state = state.replace(
+        step=restored["step"],
+        mar_params=restored["mar_params"],
+        ema_params=restored["ema_params"],
+        opt_state=restored["opt_state"],
+    )
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    norm_path = os.path.join(path, "normalizer.npz")
+    normalizer = LinearNormalizer.load(norm_path) if os.path.exists(norm_path) else None
+    return state, meta, normalizer
+
+
+class TopKCheckpointManager:
+    """Keep the k best checkpoints by a monitored metric (reference
+    common/checkpoint_util.py semantics: mode max/min, formatted names)."""
+
+    def __init__(
+        self,
+        save_dir: str,
+        monitor_key: str,
+        mode: str = "max",
+        k: int = 1,
+        format_str: str = "epoch={epoch:04d}-{monitor:.3f}",
+    ):
+        assert mode in ("max", "min")
+        self.save_dir = save_dir
+        self.monitor_key = monitor_key
+        self.mode = mode
+        self.k = k
+        self.format_str = format_str
+        self.kept: Dict[str, float] = {}
+
+    def get_ckpt_path(self, data: Dict[str, Any]) -> Optional[str]:
+        if self.k <= 0 or self.monitor_key not in data:
+            return None
+        value = float(data[self.monitor_key])
+        name = self.format_str.format(**data)
+        path = os.path.join(self.save_dir, name)
+        if len(self.kept) < self.k:
+            self.kept[path] = value
+            return path
+        sorted_kept = sorted(
+            self.kept.items(), key=lambda kv: kv[1], reverse=(self.mode == "min")
+        )
+        worst_path, worst_val = sorted_kept[0]
+        better = value > worst_val if self.mode == "max" else value < worst_val
+        if not better:
+            return None
+        del self.kept[worst_path]
+        if os.path.exists(worst_path):
+            shutil.rmtree(worst_path, ignore_errors=True)
+        self.kept[path] = value
+        return path
+
+
+class JsonLogger:
+    """Line-buffered jsonl metric logger (offline-friendly wandb stand-in)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a", buffering=1)
+
+    def log(self, data: Dict[str, Any], step: Optional[int] = None) -> None:
+        rec = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) or hasattr(v, "item") else v)
+            for k, v in data.items()
+        }
+        if step is not None:
+            rec["_step"] = int(step)
+        self._f.write(json.dumps(rec, default=float) + "\n")
+
+    def close(self):
+        self._f.close()

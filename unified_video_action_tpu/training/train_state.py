@@ -1,0 +1,98 @@
+"""Train state + the jitted train step factory.
+
+The whole optimization step — loss over the selected task mode, grads, AdamW
+update, EMA — is ONE jitted program per (task_mode, frame-index tuple), with
+the batch sharded over the mesh's data axis and params replicated; XLA inserts
+the gradient all-reduce (the TPU-native replacement for the reference's
+Accelerate/DDP NCCL path, workspace/train_unified_video_action_workspace.py:
+207-302)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from unified_video_action_tpu.parallel import mesh as mesh_lib
+from unified_video_action_tpu.training.ema import EmaConfig, ema_update
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    mar_params: Any
+    ema_params: Any
+    opt_state: Any
+    vae_params: Any
+
+
+def create_train_state(policy, params: Dict[str, Any], tx) -> TrainState:
+    mar_params = params["mar"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        mar_params=mar_params,
+        # real copy — aliased buffers would break buffer donation in the step
+        ema_params=jax.tree.map(jnp.copy, mar_params),
+        opt_state=tx.init(mar_params),
+        vae_params=params["vae"],
+    )
+
+
+def make_train_step(
+    policy,
+    tx: optax.GradientTransformation,
+    ema_cfg: EmaConfig,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, key, task_mode, frame_indices) with a
+    per-(mode, indices) jit cache."""
+
+    cache: Dict[Tuple, Callable] = {}
+
+    def build(task_mode: str, frame_indices: Tuple[int, ...]):
+        def step_fn(state: TrainState, batch, key):
+            def loss_fn(mar_params):
+                params = {"mar": mar_params, "vae": state.vae_params}
+                loss, (vl, al) = policy.compute_loss(
+                    params, batch, key, task_mode,
+                    frame_indices=list(frame_indices),
+                )
+                return loss, (vl, al)
+
+            (loss, (vl, al)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.mar_params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.mar_params)
+            new_params = optax.apply_updates(state.mar_params, updates)
+            new_step = state.step + 1
+            new_ema = ema_update(state.ema_params, new_params, new_step, ema_cfg)
+            metrics = {
+                "train_loss": loss,
+                "diffusion_loss": vl,
+                "action_loss": al,
+                "grad_norm": optax.global_norm(grads),
+            }
+            new_state = state.replace(
+                step=new_step,
+                mar_params=new_params,
+                ema_params=new_ema,
+                opt_state=new_opt,
+            )
+            return new_state, metrics
+
+        kwargs = {}
+        if donate:
+            kwargs["donate_argnums"] = (0,)
+        return jax.jit(step_fn, **kwargs)
+
+    def train_step(state, batch, key, task_mode, frame_indices):
+        k = (task_mode, tuple(int(i) for i in frame_indices))
+        if k not in cache:
+            cache[k] = build(*k)
+        return cache[k](state, batch, key)
+
+    return train_step

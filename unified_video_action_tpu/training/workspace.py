@@ -1,0 +1,274 @@
+"""Training workspace — the full train loop.
+
+Equivalent of the reference's ``TrainUnifiedVideoActionWorkspace``
+(workspace/train_unified_video_action_workspace.py:41-422): builds policy +
+dataset + loaders, fits/loads the normalizer, runs the epoch loop with
+per-batch random task-mode choice, EMA, cosine-warmup LR, grad accumulation,
+periodic validation (action-L2), env rollouts, latest + top-k checkpoints, and
+debug-mode shrinkage (train.py:46-56 semantics).
+
+TPU-native: one jitted train step per task mode (batch sharded over the mesh's
+data axis, params replicated), no gradient hacks for unused params (each mode
+compiles its own program, and AdamW updates every param regardless of zero
+grads — matching the reference's zero-grad workaround semantics)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from unified_video_action_tpu.config import Cfg, instantiate, register
+from unified_video_action_tpu.data.loader import DataLoader
+from unified_video_action_tpu.parallel import mesh as mesh_lib
+from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
+from unified_video_action_tpu.training import checkpoint as ckpt_lib
+from unified_video_action_tpu.training.ema import EmaConfig
+from unified_video_action_tpu.training.optim import make_optimizer
+from unified_video_action_tpu.training.train_state import (
+    create_train_state,
+    make_train_step,
+)
+from unified_video_action_tpu.utils import frames as frame_util
+
+
+class TrainWorkspace:
+    def __init__(self, cfg: Cfg, output_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.output_dir = output_dir or cfg.get("output_dir", "outputs/run")
+        seed = int(cfg["training"]["seed"])
+        self.seed = seed
+        self.np_rng = np.random.default_rng(seed)
+
+        # hydra packaging: the model yaml composes under cfg.model (reference
+        # accesses cfg.model.policy throughout)
+        policy_cfg = dict(cfg["model"]["policy"] if "model" in cfg else cfg["policy"])
+        policy_cfg.pop("_target_", None)
+        optimizer_cfg = policy_cfg.pop("optimizer", {})
+        task = cfg.get("task", {})
+        self.policy = UnifiedVideoActionPolicy(
+            task_name=task.get("name", policy_cfg.pop("task_name", "pusht")),
+            task_modes=tuple(task.get("task_modes", ())),
+            normalizer_type=task.get("dataset", {}).get("normalizer_type", "all"),
+            optimizer=optimizer_cfg,
+            **policy_cfg,
+        )
+        self.epoch = 0
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        tcfg = cfg["training"]
+        debug = bool(tcfg.get("debug", False))
+
+        num_epochs = 2 if debug else int(tcfg["num_epochs"])
+        max_train_steps = 3 if debug else tcfg.get("max_train_steps")
+        max_val_steps = 3 if debug else tcfg.get("max_val_steps")
+        rollout_every = 1 if debug else int(tcfg.get("rollout_every", 10))
+        checkpoint_every = 1 if debug else int(tcfg.get("checkpoint_every", 10))
+        val_every = 1 if debug else int(tcfg.get("val_every", 1))
+
+        # dataset
+        ds_cfg = dict(cfg["task"]["dataset"])
+        ds_cfg.pop("_target_", None)
+        ds_cfg.pop("language_emb_model", None)
+        ds_cfg.pop("dataset_type", None)
+        from unified_video_action_tpu.data.pusht_dataset import PushTImageDataset
+
+        dataset = PushTImageDataset(**ds_cfg)
+        val_dataset = dataset.get_validation_dataset()
+        normalizer = dataset.get_normalizer()
+        self.policy.set_normalizer(normalizer)
+
+        batch_size = 2 if debug else int(cfg["dataloader"]["batch_size"])
+        loader = DataLoader(
+            dataset, batch_size, shuffle=True, seed=self.seed,
+            num_workers=int(cfg["dataloader"].get("num_workers", 4)),
+        )
+        val_loader = DataLoader(
+            val_dataset, batch_size, shuffle=False, drop_last=False,
+            num_workers=2,
+        )
+
+        # mesh + optimizer + state
+        mesh = mesh_lib.make_mesh()
+        steps_per_epoch = max(len(loader), 1)
+        total_steps = steps_per_epoch * num_epochs
+        opt_cfg = self.policy.optimizer_cfg
+        tx = make_optimizer(
+            learning_rate=float(opt_cfg.get("learning_rate", 1e-4)),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.02)),
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.95))),
+            warmup_steps=int(tcfg.get("lr_warmup_steps", 1000)),
+            total_steps=total_steps,
+            schedule=tcfg.get("lr_scheduler", "cosine"),
+            grad_accum=int(tcfg.get("gradient_accumulate_every", 1)),
+        )
+        params = self.policy.init_params(jax.random.PRNGKey(self.seed))
+        state = create_train_state(self.policy, params, tx)
+        state = mesh_lib.replicate(state, mesh)
+
+        ema_block = cfg.get("ema", {})
+        ema_cfg = EmaConfig(
+            update_after_step=int(ema_block.get("update_after_step", 0)),
+            inv_gamma=float(ema_block.get("inv_gamma", 1.0)),
+            power=float(ema_block.get("power", 0.75)),
+            min_value=float(ema_block.get("min_value", 0.0)),
+            max_value=float(ema_block.get("max_value", 0.9999)),
+        )
+        train_step = make_train_step(self.policy, tx, ema_cfg, mesh=mesh)
+
+        # resume
+        latest_path = os.path.join(self.output_dir, "checkpoints", "latest")
+        if tcfg.get("resume", False) and os.path.exists(latest_path):
+            state, meta, norm = ckpt_lib.load_checkpoint(latest_path, state)
+            self.epoch = meta.get("epoch", 0)
+            self.global_step = meta.get("step", 0)
+            if norm is not None:
+                self.policy.set_normalizer(norm)
+            print(f"resumed from {latest_path} @ epoch {self.epoch}")
+
+        logger = ckpt_lib.JsonLogger(os.path.join(self.output_dir, "logs.jsonl"))
+        topk_cfg = cfg.get("checkpoint", {}).get("topk", {})
+        topk = ckpt_lib.TopKCheckpointManager(
+            save_dir=os.path.join(self.output_dir, "checkpoints"),
+            monitor_key=topk_cfg.get("monitor_key", "test_mean_score"),
+            mode=topk_cfg.get("mode", "max"),
+            k=int(topk_cfg.get("k", 1)),
+            format_str=topk_cfg.get("format_str", "epoch={epoch:04d}"),
+        )
+
+        # env runner (optional)
+        env_runner = None
+        if self.policy.mar_cfg.predict_action and "env_runner" in cfg.get("task", {}):
+            er_cfg = dict(cfg["task"]["env_runner"])
+            er_cfg.pop("_target_", None)
+            from unified_video_action_tpu.runners.pusht_runner import PushTImageRunner
+
+            if debug:
+                er_cfg.update(n_train=1, n_test=1, max_steps=20)
+            env_runner = PushTImageRunner(output_dir=self.output_dir, **er_cfg)
+
+        key = jax.random.PRNGKey(self.seed + 1)
+        last_metrics: Dict[str, Any] = {}
+
+        while self.epoch < num_epochs:
+            t0 = time.time()
+            epoch_losses = []
+            for i, batch in enumerate(loader):
+                if max_train_steps is not None and i >= max_train_steps:
+                    break
+                batch = mesh_lib.shard_batch(_to_jax_batch(batch), mesh)
+                task_mode = self.policy.choose_task_mode(self.np_rng)
+                T = batch["obs"]["image"].shape[1]
+                frame_indices = frame_util.select_frame_indices(
+                    T, eval=False,
+                    different_history_freq=False,
+                )
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(
+                    state, batch, sub, task_mode, frame_indices
+                )
+                self.global_step += 1
+                epoch_losses.append(metrics)
+
+            m = jax.device_get(epoch_losses[-1]) if epoch_losses else {}
+            step_log = {
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+                "epoch_time": time.time() - t0,
+                **{k: float(v) for k, v in m.items()},
+            }
+
+            # validation: action-L2 over val split (reference test_action_l2)
+            if (self.epoch % val_every) == 0 and len(val_loader) > 0:
+                val_losses = []
+                for j, vb in enumerate(val_loader):
+                    if max_val_steps is not None and j >= max_val_steps:
+                        break
+                    key, sub = jax.random.split(key)
+                    l2 = self._val_action_l2(state, vb, sub)
+                    if l2 is not None:
+                        val_losses.append(l2)
+                if val_losses:
+                    step_log["val_action_l2_distances"] = float(np.mean(val_losses))
+
+            # rollout
+            if env_runner is not None and (self.epoch % rollout_every) == 0:
+                eval_params = {
+                    "mar": state.ema_params, "vae": state.vae_params
+                }
+                key, sub = jax.random.split(key)
+                runner_log = env_runner.run(self.policy, eval_params, sub)
+                step_log.update(
+                    {k: v for k, v in runner_log.items() if "mean_score" in k}
+                )
+                step_log["test_mean_score"] = runner_log.get("test/mean_score", 0.0)
+
+            logger.log(step_log, step=self.global_step)
+            last_metrics = step_log
+
+            # checkpoints
+            if (self.epoch % checkpoint_every) == 0:
+                cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+                ckpt_lib.save_checkpoint(
+                    latest_path, state, cfg=cfg_dict,
+                    normalizer=self.policy.normalizer, epoch=self.epoch,
+                )
+                monitor = topk.monitor_key
+                if monitor in step_log:
+                    data = {"epoch": self.epoch, monitor: step_log[monitor],
+                            "monitor": step_log[monitor]}
+                    p = topk.get_ckpt_path(data)
+                    if p is not None:
+                        ckpt_lib.save_checkpoint(
+                            p, state, cfg=cfg_dict,
+                            normalizer=self.policy.normalizer, epoch=self.epoch,
+                        )
+
+            self.epoch += 1
+
+        logger.close()
+        self.state = state
+        return last_metrics
+
+    # ------------------------------------------------------------------
+
+    def _val_action_l2(self, state, batch, key) -> Optional[float]:
+        """RMSE between predicted and ground-truth future action chunk over the
+        first 9 dims (reference eval/eval.py:282-417)."""
+        if not self.policy.mar_cfg.predict_action:
+            return None
+        obs = batch["obs"]
+        T = obs["image"].shape[1]
+        n_obs = T // 2
+        obs_dict = {
+            k: np.asarray(v[:, :n_obs]) for k, v in obs.items()
+        }
+        params = {"mar": state.ema_params, "vae": state.vae_params}
+        result = self.policy.predict_action(params, obs_dict, key)
+        actions = np.asarray(batch["action"])
+        _, future = frame_util.split_trajectory(
+            actions, T, self.policy.shift_action, self.policy.use_history_action
+        )
+        pred = result["action_pred"]
+        n = min(pred.shape[-1], 9)
+        d = pred[..., :n] - future[..., :n]
+        return float(np.sqrt((d**2).mean()))
+
+
+def _to_jax_batch(batch):
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, batch)
+
+
+register(
+    "unified_video_action_tpu.training.workspace.TrainWorkspace",
+    "unified_video_action.workspace.train_unified_video_action_workspace.TrainUnifiedVideoActionWorkspace",
+)(TrainWorkspace)

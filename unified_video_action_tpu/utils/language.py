@@ -1,0 +1,81 @@
+"""Language conditioning: CLIP text features with an offline fallback.
+
+Equivalent of the reference's CLIP factory (utils/language_model.py:7-33):
+``openai/clip-vit-base-patch32`` text tower, max_length 30 (77 for libero),
+512-d pooled features. When the HF weights are not available locally (this
+environment has no network egress), a deterministic hash-based encoder stands
+in so language-conditioned code paths stay testable; the API is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+CLIP_DIM = 512
+
+
+class HashTextEncoder:
+    """Deterministic stand-in for CLIP text features (offline/testing).
+
+    Maps each string to a fixed unit-norm 512-d vector derived from its
+    sha256 — stable across processes, no learned weights.
+    """
+
+    dim = CLIP_DIM
+
+    def encode(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+
+class ClipTextEncoder:
+    """CLIP text tower via transformers (torch CPU), frozen; lazy-loaded."""
+
+    dim = CLIP_DIM
+
+    def __init__(self, model_name: str = "openai/clip-vit-base-patch32",
+                 max_length: int = 30):
+        from transformers import CLIPTokenizer, CLIPTextModelWithProjection
+
+        self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
+        self.model = CLIPTextModelWithProjection.from_pretrained(model_name).eval()
+        self.max_length = max_length
+
+    def encode(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        import torch
+
+        if isinstance(texts, str):
+            texts = [texts]
+        tokens = self.tokenizer(
+            list(texts), padding="max_length", max_length=self.max_length,
+            truncation=True, return_tensors="pt",
+        )
+        with torch.no_grad():
+            out = self.model(**tokens)
+        return out.text_embeds.numpy().astype(np.float32)
+
+
+def get_text_encoder(
+    task_name: Optional[str], language_emb_model: Optional[str]
+):
+    """Returns (encoder, max_length) or (None, None) when no language model is
+    configured (pusht et al.)."""
+    if language_emb_model is None:
+        return None, None
+    assert language_emb_model == "clip", language_emb_model
+    max_length = 77 if (task_name and "libero" in task_name) else 30
+    try:
+        return ClipTextEncoder(max_length=max_length), max_length
+    except Exception:
+        # no local HF weights (offline) -> deterministic fallback
+        return HashTextEncoder(), max_length
