@@ -27,6 +27,9 @@ ITERS = 8
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy

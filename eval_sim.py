@@ -21,6 +21,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import numpy as np
 
     from unified_video_action_tpu.config import CONFIG_ROOT, load_config

@@ -1,0 +1,40 @@
+"""Offline metrics: frechet distance sanity + action L2."""
+
+import numpy as np
+
+from unified_video_action_tpu.eval.metrics import (
+    action_l2,
+    frechet_distance,
+    pixel_embeddings,
+    video_fvd,
+)
+
+
+def test_frechet_identical_is_zero():
+    x = np.random.RandomState(0).randn(256, 16)
+    assert abs(frechet_distance(x, x.copy())) < 1e-6
+
+
+def test_frechet_mean_shift():
+    rng = np.random.RandomState(1)
+    x = rng.randn(4096, 8)
+    y = rng.randn(4096, 8) + 2.0
+    d = frechet_distance(x, y)
+    # analytic: ||mu_diff||^2 = 8 * 4 = 32 (+ small covariance noise)
+    assert 28 < d < 36
+
+
+def test_action_l2():
+    pred = np.zeros((2, 16, 10))
+    target = np.ones((2, 16, 10))
+    assert abs(action_l2(pred, target) - 1.0) < 1e-9
+    # only first 9 dims count
+    target2 = np.zeros((2, 16, 10)); target2[..., 9] = 100.0
+    assert action_l2(pred, target2) == 0.0
+
+
+def test_video_fvd_pixel_fallback():
+    rng = np.random.RandomState(2)
+    real = rng.randint(0, 255, (16, 8, 32, 32, 3)).astype(np.float32)
+    out = video_fvd(real, real.copy(), embedder=pixel_embeddings)
+    assert abs(out["video_fvd"] if "video_fvd" in out else out["video_fvd_pixel"]) < 1e-6

@@ -1,0 +1,86 @@
+"""Rotation/pose math vs scipy golden outputs + round-trips."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyR
+
+from unified_video_action_tpu.utils import rotation as rot
+from unified_video_action_tpu.utils import pose as pose_util
+
+
+RNG = np.random.RandomState(0)
+AA = RNG.randn(32, 3) * 1.5
+
+
+def test_axis_angle_to_matrix_vs_scipy():
+    want = ScipyR.from_rotvec(AA).as_matrix()
+    got = rot.axis_angle_to_matrix(AA)
+    np.testing.assert_allclose(want, got, atol=1e-10)
+
+
+def test_quaternion_vs_scipy():
+    want = ScipyR.from_rotvec(AA).as_quat()  # xyzw
+    got = rot.axis_angle_to_quaternion(AA)  # wxyz
+    got_xyzw = np.concatenate([got[:, 1:], got[:, :1]], axis=-1)
+    # sign-invariant comparison
+    dots = np.abs(np.sum(want * got_xyzw, axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-10)
+
+
+def test_matrix_quaternion_roundtrip():
+    R = ScipyR.from_rotvec(AA).as_matrix()
+    q = rot.matrix_to_quaternion(R)
+    R2 = rot.quaternion_to_matrix(q)
+    np.testing.assert_allclose(R, R2, atol=1e-9)
+
+
+def test_rotation6d_roundtrip():
+    R = ScipyR.from_rotvec(AA).as_matrix()
+    d6 = rot.matrix_to_rotation_6d(R)
+    R2 = rot.rotation_6d_to_matrix(d6)
+    np.testing.assert_allclose(R, R2, atol=1e-9)
+
+
+def test_axis_angle_roundtrip_through_everything():
+    t = rot.RotationTransformer("axis_angle", "rotation_6d")
+    d6 = t.forward(AA)
+    back = t.inverse(d6)
+    R1 = ScipyR.from_rotvec(AA).as_matrix()
+    R2 = ScipyR.from_rotvec(back).as_matrix()
+    np.testing.assert_allclose(R1, R2, atol=1e-5)
+
+
+def test_euler_vs_scipy():
+    angles = RNG.uniform(-np.pi, np.pi, (16, 3))
+    want = ScipyR.from_euler("XYZ", angles).as_matrix()
+    got = rot.euler_to_matrix(angles, "XYZ")
+    np.testing.assert_allclose(want, got, atol=1e-10)
+
+
+def test_pose_mat_roundtrip():
+    poses = np.concatenate([RNG.randn(8, 3) * 0.5, AA[:8]], axis=-1)
+    mats = pose_util.pose_to_mat(poses)
+    back = pose_util.mat_to_pose(mats)
+    R1 = ScipyR.from_rotvec(poses[:, 3:]).as_matrix()
+    R2 = ScipyR.from_rotvec(back[:, 3:]).as_matrix()
+    np.testing.assert_allclose(poses[:, :3], back[:, :3], atol=1e-9)
+    np.testing.assert_allclose(R1, R2, atol=1e-8)
+
+
+def test_pose10d_roundtrip():
+    poses = np.concatenate([RNG.randn(8, 3), AA[:8]], axis=-1)
+    mats = pose_util.pose_to_mat(poses)
+    d10 = pose_util.mat_to_pose10d(mats)
+    assert d10.shape == (8, 9)
+    back = pose_util.pose10d_to_mat(d10)
+    np.testing.assert_allclose(mats, back, atol=1e-5)
+
+
+def test_relative_pose_representation():
+    poses = np.concatenate([RNG.randn(8, 3), AA[:8]], axis=-1)
+    mats = pose_util.pose_to_mat(poses)
+    base = mats[0]
+    rel = pose_util.convert_pose_mat_rep(mats, base, "relative")
+    np.testing.assert_allclose(rel[0], np.eye(4), atol=1e-10)
+    back = pose_util.convert_pose_mat_rep(rel, base, "relative", backward=True)
+    np.testing.assert_allclose(mats, back, atol=1e-9)

@@ -21,6 +21,16 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
 
+    # persistent compilation cache: repeated runs (and the 5 per-task-mode
+    # train programs) skip the expensive XLA compiles
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("UVA_COMPILE_CACHE", "/tmp/uva_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from unified_video_action_tpu.config import CONFIG_ROOT, instantiate, load_config
 
     cfg = load_config(
