@@ -287,11 +287,11 @@ class UnifiedVideoActionPolicy:
 
         def fn(params, image, key, text_latents=None, proprio=None,
                history_actions=None):
-            # image: (B, T_obs, 3, H, W) in [0,1]
-            image = image_util.resize_video(image, c.img_size)
+            # image: (B, T_obs, 3, H, W) in [0,1]; select the 4 cond frames
+            # BEFORE resizing (4x less resize work + memory)
             T_obs = image.shape[1]
             idx = frame_util.select_frame_indices(T_obs, eval=True)
-            frames = image[:, idx]
+            frames = image_util.resize_video(image[:, idx], c.img_size)
             frames = image_util.to_model_range(frames)
             k_vae, k_samp = jax.random.split(key)
             cond = self._encode_frames(params["vae"], frames, k_vae)
@@ -393,7 +393,7 @@ class UnifiedVideoActionPolicy:
         """
         c = self.mar_cfg
         obs = batch["obs"]
-        image = image_util.resize_video(obs["image"], c.img_size)
+        image = obs["image"]
         B, T = image.shape[:2]
 
         actions = batch["action"]
@@ -403,7 +403,10 @@ class UnifiedVideoActionPolicy:
 
         if frame_indices is None:
             frame_indices = frame_util.select_frame_indices(T, eval=False)
-        frames = image[:, jnp.asarray(frame_indices)]
+        # select the 8 training frames BEFORE the 256x256 resize (4x less work)
+        frames = image_util.resize_video(
+            image[:, jnp.asarray(frame_indices)], c.img_size
+        )
         frames = image_util.to_model_range(frames)
 
         k_vae1, k_vae2, k_fwd = jax.random.split(key, 3)

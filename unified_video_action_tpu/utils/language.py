@@ -10,7 +10,12 @@ in so language-conditioned code paths stay testable; the API is identical.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List, Optional, Sequence, Union
+
+# never hit the network for tokenizers/weights (zero-egress environments hang)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import numpy as np
 
