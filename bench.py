@@ -16,6 +16,7 @@ encoder/decoder+VAE; kernel-launch bound). vs_baseline = measured / 150.
 """
 
 import json
+import os
 import time
 
 A100_REFERENCE_CHUNKS_PER_SEC = 150.0
@@ -51,6 +52,7 @@ def main():
         action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
         task_name="pusht",
         compute_dtype="bfloat16",
+        attn_impl=os.environ.get("UVA_ATTN_IMPL", "pallas"),
     )
     params = policy.init_params(jax.random.PRNGKey(0))
 

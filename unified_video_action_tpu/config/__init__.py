@@ -194,6 +194,25 @@ def resolve_interpolations(cfg: Cfg, max_passes: int = 8) -> None:
 
 _REGISTRY: Dict[str, Callable] = {}
 
+# reference-config class paths -> this framework's equivalents, so yaml files
+# written for the reference keep working unchanged
+_ALIASES: Dict[str, str] = {
+    "unified_video_action.dataset.pusht_image_dataset.PushTImageDataset":
+        "unified_video_action_tpu.data.pusht_dataset.PushTImageDataset",
+    "unified_video_action.dataset.robomimic_replay_image_dataset.RobomimicReplayImageDataset":
+        "unified_video_action_tpu.data.robomimic_dataset.RobomimicReplayImageDataset",
+    "unified_video_action.dataset.libero_replay_image_dataset.LiberoReplayImageDataset":
+        "unified_video_action_tpu.data.libero_dataset.LiberoReplayImageDataset",
+    "unified_video_action.env_runner.pusht_image_runner.PushTImageRunner":
+        "unified_video_action_tpu.runners.pusht_runner.PushTImageRunner",
+    "unified_video_action.env_runner.robomimic_image_runner.RobomimicImageRunner":
+        "unified_video_action_tpu.runners.robomimic_runner.RobomimicImageRunner",
+    "unified_video_action.env_runner.libero_image_runner.LiberoImageRunner":
+        "unified_video_action_tpu.runners.libero_runner.LiberoImageRunner",
+    "unified_video_action.policy.unified_video_action_policy.UnifiedVideoActionPolicy":
+        "unified_video_action_tpu.policy.policy.UnifiedVideoActionPolicy",
+}
+
 
 def register(*names: str) -> Callable:
     def deco(fn):
@@ -205,6 +224,7 @@ def register(*names: str) -> Callable:
 
 
 def get_class(target: str) -> Callable:
+    target = _ALIASES.get(target, target)
     if target in _REGISTRY:
         return _REGISTRY[target]
     # fall back to import path resolution within this framework

@@ -1,0 +1,65 @@
+"""Runner interface + env-runner loader.
+
+Equivalents of the reference's ``BaseImageRunner`` (env_runner/
+base_image_runner.py:1-10) and ``load_env_runner`` / ``env_rollout``
+(utils/load_env.py:7-60): task-driven construction of the right rollout
+harness, libero expanding into one runner per task hdf5 whose scores average
+into ``test_mean_score`` (eval_sim.py:57-70)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+
+class BaseImageRunner:
+    def __init__(self, output_dir: Optional[str] = None):
+        self.output_dir = output_dir
+
+    def run(self, policy, params, key=None) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+def load_env_runner(cfg, output_dir: Optional[str] = None):
+    """Instantiate the env runner(s) for cfg.task. Returns a single runner, or
+    a list for libero (one per task file)."""
+    task = cfg["task"]
+    er_cfg = dict(task.get("env_runner", {}))
+    target = er_cfg.pop("_target_", "")
+    name = task.get("name", "")
+
+    if "pusht" in name or "pusht" in target:
+        from unified_video_action_tpu.runners.pusht_runner import PushTImageRunner
+
+        return PushTImageRunner(output_dir=output_dir, **er_cfg)
+    if "libero" in name or "libero" in target:
+        from unified_video_action_tpu.runners.libero_runner import (
+            make_libero_runners,
+        )
+
+        return make_libero_runners(output_dir=output_dir, **er_cfg)
+    if "robomimic" in target or name in ("toolhang", "square", "can", "lift"):
+        from unified_video_action_tpu.runners.robomimic_runner import (
+            RobomimicImageRunner,
+        )
+
+        return RobomimicImageRunner(output_dir=output_dir, **er_cfg)
+    raise ValueError(f"no runner for task {name!r} (target {target!r})")
+
+
+def env_rollout(policy, params, runners, key=None) -> Dict[str, Any]:
+    """Run one or many runners; average libero-style per-task test scores
+    (reference utils/load_env.py:33-60, eval_sim.py:57-70)."""
+    if not isinstance(runners, (list, tuple)):
+        runners = [runners]
+    log: Dict[str, Any] = {}
+    test_scores: List[float] = []
+    for runner in runners:
+        r = runner.run(policy, params, key)
+        prefix = getattr(runner, "log_prefix", "")
+        for k, v in r.items():
+            log[prefix + k] = v
+        if "test/mean_score" in r:
+            test_scores.append(r["test/mean_score"])
+    if test_scores:
+        log["test_mean_score"] = float(sum(test_scores) / len(test_scores))
+    return log

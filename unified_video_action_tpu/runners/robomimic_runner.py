@@ -1,0 +1,199 @@
+"""Robomimic (robosuite) rollout harness.
+
+Equivalent of the reference's ``RobomimicImageRunner``
+(env_runner/robomimic_image_runner.py:46-385): n_train envs reset to demo
+init states from the dataset hdf5 + n_test seeded envs, shape_meta-driven obs
+dicts, abs-action rot6d -> axis-angle ``undo_transform_action`` before
+stepping, MultiStep wrapping, per-seed max reward -> mean scores.
+
+robosuite/robomimic are optional heavy dependencies: construction raises a
+clear ImportError when absent (this environment ships neither), but the full
+rollout logic is here and exercised through the shared loop with PushT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from unified_video_action_tpu.envs.wrappers import MultiStepWrapper, SyncVectorEnv
+from unified_video_action_tpu.runners.base import BaseImageRunner
+from unified_video_action_tpu.utils.rotation import RotationTransformer
+
+
+def _require_robosuite():
+    try:
+        import robosuite  # noqa: F401
+        import robomimic.utils.env_utils  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "RobomimicImageRunner needs robosuite+robomimic (optional extras "
+            "not installed in this environment)"
+        ) from e
+
+
+class RobomimicImageWrapper:
+    """gym-ify a robosuite EnvRobosuite: shape_meta-driven obs extraction +
+    init-state reset (reference env/robomimic/robomimic_image_wrapper.py)."""
+
+    def __init__(self, env, shape_meta: dict, init_state=None, seed=None,
+                 render_obs_key: str = "agentview_image"):
+        self.env = env
+        self.obs_keys = list(shape_meta["obs"].keys())
+        self.init_state = init_state
+        self._seed = seed
+        self.render_obs_key = render_obs_key
+        self.render_cache = None
+
+    def _extract_obs(self, raw) -> Dict[str, np.ndarray]:
+        obs = {}
+        for k in self.obs_keys:
+            v = np.asarray(raw[k])
+            if v.ndim == 3:  # HWC image -> CHW float
+                self.render_cache = v
+                v = np.moveaxis(v.astype(np.float32) / 255.0, -1, 0)
+            obs[k] = v
+        return obs
+
+    def reset(self):
+        if self.init_state is not None:
+            raw = self.env.reset_to({"states": self.init_state})
+        else:
+            if self._seed is not None:
+                np.random.seed(self._seed)
+            raw = self.env.reset()
+        return self._extract_obs(raw), {}
+
+    def step(self, action):
+        raw, reward, done, info = self.env.step(action)
+        return self._extract_obs(raw), float(reward), bool(done), False, info
+
+    def render(self, *a, **k):
+        return self.render_cache
+
+    def seed(self, seed=None):
+        self._seed = seed
+
+    def close(self):
+        self.env.close()
+
+
+class RobomimicImageRunner(BaseImageRunner):
+    def __init__(
+        self,
+        output_dir: Optional[str] = None,
+        dataset_path: Optional[str] = None,
+        shape_meta: Optional[dict] = None,
+        n_train: int = 6,
+        train_start_idx: int = 0,
+        n_test: int = 50,
+        test_start_seed: int = 100000,
+        max_steps: int = 700,
+        n_obs_steps: int = 16,
+        n_action_steps: int = 8,
+        abs_action: bool = True,
+        n_envs: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(output_dir)
+        self.dataset_path = dataset_path
+        self.shape_meta = shape_meta or {}
+        self.n_train = n_train
+        self.train_start_idx = train_start_idx
+        self.n_test = n_test
+        self.test_start_seed = test_start_seed
+        self.max_steps = max_steps
+        self.n_obs_steps = n_obs_steps
+        self.n_action_steps = n_action_steps
+        self.abs_action = abs_action
+        self.rot_tf = RotationTransformer("axis_angle", "rotation_6d")
+
+    def undo_transform_action(self, action: np.ndarray) -> np.ndarray:
+        """(…, 10) pos3+rot6d+grip -> (…, 7) pos3+axis_angle+grip
+        (reference :368-385); dual-arm 20 -> 14."""
+        if not self.abs_action:
+            return action
+        d = action.shape[-1]
+        is_dual = d == 20
+        a = action.reshape(*action.shape[:-1], 2, 10) if is_dual else action[..., None, :]
+        pos, rot6, grip = a[..., :3], a[..., 3:9], a[..., 9:]
+        rot = self.rot_tf.inverse(rot6)
+        out = np.concatenate([pos, rot, grip], axis=-1)
+        return out.reshape(*action.shape[:-1], -1)
+
+    def _make_envs(self):
+        _require_robosuite()
+        import h5py
+        import robomimic.utils.env_utils as EnvUtils
+        import robomimic.utils.file_utils as FileUtils
+
+        env_meta = FileUtils.get_env_metadata_from_dataset(self.dataset_path)
+        if self.abs_action:
+            env_meta["env_kwargs"]["controller_configs"]["control_delta"] = False
+
+        fns = []
+        with h5py.File(self.dataset_path, "r") as f:
+            for i in range(self.n_train):
+                demo = f[f"data/demo_{self.train_start_idx + i}"]
+                init_state = demo["states"][0]
+
+                def make(init_state=init_state):
+                    env = EnvUtils.create_env_from_metadata(
+                        env_meta=env_meta, render=False,
+                        render_offscreen=True, use_image_obs=True,
+                    )
+                    w = RobomimicImageWrapper(env, self.shape_meta, init_state)
+                    return MultiStepWrapper(
+                        w, self.n_obs_steps, self.n_action_steps, self.max_steps
+                    )
+
+                fns.append(("train/", self.train_start_idx + i, make))
+        for i in range(self.n_test):
+            seed = self.test_start_seed + i
+
+            def make(seed=seed):
+                env = EnvUtils.create_env_from_metadata(
+                    env_meta=env_meta, render=False,
+                    render_offscreen=True, use_image_obs=True,
+                )
+                w = RobomimicImageWrapper(env, self.shape_meta, seed=seed)
+                return MultiStepWrapper(
+                    w, self.n_obs_steps, self.n_action_steps, self.max_steps
+                )
+
+            fns.append(("test/", seed, make))
+        return fns
+
+    def run(self, policy, params, key=None) -> Dict[str, Any]:
+        import collections
+
+        import jax
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fns = self._make_envs()
+        venv = SyncVectorEnv([f for _, _, f in fns])
+        try:
+            obs = venv.reset()
+            done = np.zeros(len(fns), dtype=bool)
+            max_reward = np.zeros(len(fns))
+            steps = 0
+            while not done.all() and steps < self.max_steps:
+                key, sub = jax.random.split(key)
+                result = policy.predict_action(params, obs, sub)
+                env_action = self.undo_transform_action(np.asarray(result["action"]))
+                obs, rewards, dones, infos = venv.step(env_action)
+                max_reward = np.maximum(max_reward, rewards)
+                done |= dones
+                steps += self.n_action_steps
+        finally:
+            venv.close()
+
+        log: Dict[str, Any] = {}
+        groups = collections.defaultdict(list)
+        for (prefix, seed, _), r in zip(fns, max_reward):
+            groups[prefix].append(r)
+            log[f"{prefix}sim_max_reward_{seed}"] = float(r)
+        for prefix, rs in groups.items():
+            log[f"{prefix}mean_score"] = float(np.mean(rs))
+        return log

@@ -73,14 +73,17 @@ class TrainWorkspace:
         checkpoint_every = 1 if debug else int(tcfg.get("checkpoint_every", 10))
         val_every = 1 if debug else int(tcfg.get("val_every", 1))
 
-        # dataset
+        # dataset (instantiated from its _target_ via the registry)
         ds_cfg = dict(cfg["task"]["dataset"])
-        ds_cfg.pop("_target_", None)
+        target = ds_cfg.pop(
+            "_target_",
+            "unified_video_action_tpu.data.pusht_dataset.PushTImageDataset",
+        )
         ds_cfg.pop("language_emb_model", None)
         ds_cfg.pop("dataset_type", None)
-        from unified_video_action_tpu.data.pusht_dataset import PushTImageDataset
+        from unified_video_action_tpu.config import get_class
 
-        dataset = PushTImageDataset(**ds_cfg)
+        dataset = get_class(target)(**ds_cfg)
         val_dataset = dataset.get_validation_dataset()
         normalizer = dataset.get_normalizer()
         self.policy.set_normalizer(normalizer)
@@ -146,13 +149,15 @@ class TrainWorkspace:
         # env runner (optional)
         env_runner = None
         if self.policy.mar_cfg.predict_action and "env_runner" in cfg.get("task", {}):
-            er_cfg = dict(cfg["task"]["env_runner"])
-            er_cfg.pop("_target_", None)
-            from unified_video_action_tpu.runners.pusht_runner import PushTImageRunner
+            from unified_video_action_tpu.runners.base import load_env_runner
 
+            run_cfg = cfg
             if debug:
-                er_cfg.update(n_train=1, n_test=1, max_steps=20)
-            env_runner = PushTImageRunner(output_dir=self.output_dir, **er_cfg)
+                run_cfg = Cfg.wrap(cfg.to_dict())
+                run_cfg["task"]["env_runner"].update(
+                    n_train=1, n_test=1, max_steps=20
+                )
+            env_runner = load_env_runner(run_cfg, output_dir=self.output_dir)
 
         key = jax.random.PRNGKey(self.seed + 1)
         last_metrics: Dict[str, Any] = {}
@@ -200,11 +205,13 @@ class TrainWorkspace:
 
             # rollout
             if env_runner is not None and (self.epoch % rollout_every) == 0:
+                from unified_video_action_tpu.runners.base import env_rollout
+
                 eval_params = {
                     "mar": state.ema_params, "vae": state.vae_params
                 }
                 key, sub = jax.random.split(key)
-                runner_log = env_runner.run(self.policy, eval_params, sub)
+                runner_log = env_rollout(self.policy, eval_params, env_runner, sub)
                 step_log.update(
                     {k: v for k, v in runner_log.items() if "mean_score" in k}
                 )
