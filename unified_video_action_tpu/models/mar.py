@@ -658,6 +658,12 @@ class Mar(nn.Module):
 
         k_order, key = jax.random.split(key)
         order_rank = sample_orders(k_order, B, S)  # (B, S) ranks
+        # order_perm[b, r] = token position with rank r (inverse permutation):
+        # rank r tokens un-mask in order, so the tokens newly revealed in a
+        # round are the STATIC slice order_perm[:, next_len:cur_len] — the
+        # TPU-native replacement for the reference's shape-dynamic
+        # mask_to_pred.nonzero() gather (mar_con_unified.py:1090).
+        order_perm = jnp.argsort(order_rank, axis=-1)
 
         tokens = jnp.zeros((B, T, S, c.token_embed_dim))
         spatial_mask = jnp.ones((B, S))
@@ -697,10 +703,13 @@ class Mar(nn.Module):
                     z, ka, temperature=temperature, cfg=1.0
                 )
 
-            # next-round mask + this round's newly predicted positions
+            # this round reveals ranks [next_len, cur_len) — a static-size set
+            cur_len = S if step == 0 else mask_lens[step - 1]
             next_len = mask_lens[step]
-            spatial_mask_next = (order_rank < next_len).astype(jnp.float32)
-            to_pred = spatial_mask * (1.0 - spatial_mask_next)  # (B, S)
+            n_pred = cur_len - next_len
+            pred_pos = jax.lax.dynamic_slice_in_dim(
+                order_perm, next_len, n_pred, axis=1
+            )  # (B, n_pred) token positions, static shape
 
             if cfg_schedule == "linear":
                 cfg_iter = 1.0 + (cfg - 1.0) * (S - next_len) / S
@@ -708,13 +717,21 @@ class Mar(nn.Module):
                 cfg_iter = cfg
 
             key, kv = jax.random.split(key)
-            zc = z.reshape(B * T * S, -1)
+            # gather conditioning for just the revealed positions, all frames
+            z_g = jnp.take_along_axis(
+                z.reshape(B, T, S, -1),
+                pred_pos[:, None, :, None],
+                axis=2,
+            )  # (B, T, n_pred, D)
             sampled = self.diffloss.sample(
-                zc, kv, temperature=temperature, cfg=cfg_iter
-            ).reshape(B, T, S, c.token_embed_dim)
-            blend = jnp.broadcast_to(to_pred[:, None, :, None], sampled.shape)
-            tokens = jnp.where(blend == 1.0, sampled, tokens)
-            spatial_mask = spatial_mask_next
+                z_g.reshape(B * T * n_pred, -1), kv,
+                temperature=temperature, cfg=cfg_iter,
+            ).reshape(B, T, n_pred, c.token_embed_dim)
+            # scatter back (batched over B via vmap'd scatter on the S axis)
+            tokens = jax.vmap(
+                lambda tok, pos, val: tok.at[:, pos].set(val)
+            )(tokens, pred_pos, sampled)
+            spatial_mask = (order_rank < next_len).astype(jnp.float32)
 
         flat = tokens.reshape(B * T, S, c.token_embed_dim)
         frames = unpatchify(flat, c.patch_size, c.vae_embed_dim, c.seq_hw)

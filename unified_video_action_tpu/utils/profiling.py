@@ -70,16 +70,37 @@ def benchmark_fn(
     *args,
     warmup: int = 2,
     iters: int = 10,
+    vary: bool = True,
 ) -> Dict[str, float]:
-    """Compile + steady-state timing of a device function."""
-    for _ in range(warmup):
+    """Compile + steady-state timing of a device function.
+
+    IMPORTANT: remote execution backends (axon) memoize identical
+    (program, inputs) executions, so repeated calls with the SAME inputs
+    report fantasy throughput. With ``vary=True`` (default) the first array
+    argument is perturbed per iteration to force real execution, and the
+    result is materialized with device_get as the sync point.
+    """
+    import jax.numpy as jnp
+
+    args = list(args)
+
+    def call(i):
+        if vary:
+            for j, a in enumerate(args):
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                    args[j] = a + jnp.asarray(i * 1e-6, a.dtype)
+                    break
         out = fn(*args)
-    jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+        return out
+
+    for i in range(warmup):
+        call(i)
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        call(warmup + i)
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {
