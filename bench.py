@@ -20,7 +20,7 @@ import os
 import time
 
 A100_REFERENCE_CHUNKS_PER_SEC = 150.0
-BATCH = int(os.environ.get("UVA_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("UVA_BENCH_BATCH", "64"))
 N_OBS = 16
 WARMUP = 2
 ITERS = 8
