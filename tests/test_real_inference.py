@@ -1,0 +1,76 @@
+"""UMI real-robot inference utilities + video recording wrapper."""
+
+import os
+import numpy as np
+import pytest
+
+from unified_video_action_tpu.serving.real_inference import (
+    get_real_umi_action,
+    get_real_umi_obs_dict,
+)
+from unified_video_action_tpu.serving.zmq_server import smooth_action
+from unified_video_action_tpu.utils.pose import mat_to_pose10d, pose_to_mat, convert_pose_mat_rep
+
+
+def test_obs_dict_relative_repr():
+    rng = np.random.RandomState(0)
+    T = 4
+    env_obs = {
+        "camera0_rgb": rng.randint(0, 255, (T, 16, 16, 3)).astype(np.uint8),
+        "robot0_eef_pos": rng.randn(T, 3).astype(np.float32),
+        "robot0_eef_rot_axis_angle": (rng.randn(T, 3) * 0.5).astype(np.float32),
+        "robot0_gripper_width": rng.rand(T, 1).astype(np.float32),
+    }
+    obs = get_real_umi_obs_dict(env_obs, episode_start_pose=np.zeros(6))
+    assert obs["camera0_rgb"].shape == (T, 3, 16, 16)
+    assert obs["robot0_eef_pos"].shape == (T, 3)
+    assert obs["robot0_eef_rot_axis_angle"].shape == (T, 6)
+    assert obs["robot0_eef_rot_axis_angle_wrt_start"].shape == (T, 6)
+    # latest frame is the base -> identity relative pose
+    np.testing.assert_allclose(obs["robot0_eef_pos"][-1], 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        obs["robot0_eef_rot_axis_angle"][-1], [1, 0, 0, 0, 1, 0], atol=1e-5
+    )
+
+
+def test_action_roundtrip():
+    """relative-chunk prediction of the TRUE future poses must map back to
+    those absolute poses."""
+    rng = np.random.RandomState(1)
+    current = np.concatenate([rng.randn(3), rng.randn(3) * 0.5])
+    future_abs = np.stack(
+        [np.concatenate([rng.randn(3), rng.randn(3) * 0.5]) for _ in range(5)]
+    )
+    base_mat = pose_to_mat(current)
+    rel = convert_pose_mat_rep(pose_to_mat(future_abs), base_mat, "relative")
+    pred = np.concatenate(
+        [mat_to_pose10d(rel), rng.rand(5, 1).astype(np.float32)], axis=-1
+    )
+    env_actions = get_real_umi_action(pred, current)
+    assert env_actions.shape == (5, 7)
+    np.testing.assert_allclose(env_actions[:, :3], future_abs[:, :3], atol=1e-4)
+    from scipy.spatial.transform import Rotation as R
+    r1 = R.from_rotvec(future_abs[:, 3:]).as_matrix()
+    r2 = R.from_rotvec(env_actions[:, 3:6]).as_matrix()
+    np.testing.assert_allclose(r1, r2, atol=1e-4)
+
+
+def test_smooth_action():
+    a = np.zeros((1, 5, 2)); a[0, 2] = 10.0
+    s = smooth_action(a, window=3)
+    assert s.shape == a.shape
+    np.testing.assert_allclose(s[0, :, 0], [0, 10/3, 10/3, 10/3, 0], atol=1e-6)
+
+
+def test_video_recording_wrapper(tmp_path):
+    from unified_video_action_tpu.envs.pusht import PushTEnv
+    from unified_video_action_tpu.envs.video_recording import VideoRecordingWrapper
+
+    path = str(tmp_path / "ep.mp4")
+    env = VideoRecordingWrapper(PushTEnv(), file_path=path, steps_per_render=2)
+    env.seed(0)
+    env.reset()
+    for _ in range(6):
+        env.step(np.array([256.0, 256.0]))
+    out = env.stop_recording()
+    assert out == path and os.path.exists(path) and os.path.getsize(path) > 0

@@ -29,14 +29,26 @@ class TrainState(flax.struct.PyTreeNode):
     vae_params: Any
 
 
-def create_train_state(policy, params: Dict[str, Any], tx) -> TrainState:
+def create_train_state(
+    policy, params: Dict[str, Any], tx, mesh=None, shard_opt_state: bool = False
+) -> TrainState:
+    """Build the train state. With ``shard_opt_state`` + a mesh, AdamW moments
+    are sharded over the data axis (ZeRO-2 equivalent: optimizer state is the
+    dominant memory term; params stay replicated and XLA partitions the
+    elementwise update across chips)."""
     mar_params = params["mar"]
+    opt_state = tx.init(mar_params)
+    if shard_opt_state and mesh is not None:
+        from unified_video_action_tpu.parallel.mesh import opt_state_sharding
+
+        shardings = opt_state_sharding(mesh, opt_state)
+        opt_state = jax.tree.map(jax.device_put, opt_state, shardings)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         mar_params=mar_params,
         # real copy — aliased buffers would break buffer donation in the step
         ema_params=jax.tree.map(jnp.copy, mar_params),
-        opt_state=tx.init(mar_params),
+        opt_state=opt_state,
         vae_params=params["vae"],
     )
 

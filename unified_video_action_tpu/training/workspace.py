@@ -113,8 +113,20 @@ class TrainWorkspace:
             grad_accum=int(tcfg.get("gradient_accumulate_every", 1)),
         )
         params = self.policy.init_params(jax.random.PRNGKey(self.seed))
-        state = create_train_state(self.policy, params, tx)
-        state = mesh_lib.replicate(state, mesh)
+        shard_opt = bool(tcfg.get("shard_optimizer_state", False))
+        state = create_train_state(
+            self.policy, params, tx, mesh=mesh, shard_opt_state=shard_opt
+        )
+        # replicate everything except the (possibly ZeRO-sharded) opt state
+        state = state.replace(
+            step=mesh_lib.replicate(state.step, mesh),
+            mar_params=mesh_lib.replicate(state.mar_params, mesh),
+            ema_params=mesh_lib.replicate(state.ema_params, mesh),
+            vae_params=mesh_lib.replicate(state.vae_params, mesh),
+            opt_state=state.opt_state
+            if shard_opt
+            else mesh_lib.replicate(state.opt_state, mesh),
+        )
 
         ema_block = cfg.get("ema", {})
         ema_cfg = EmaConfig(
