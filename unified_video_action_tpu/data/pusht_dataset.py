@@ -51,8 +51,10 @@ class PushTImageDataset:
         data_aug: bool = False,
         normalizer_type: str = "all",
         synthetic: Optional[int] = None,
+        agent_pos_dim: int = 2,   # 14 for the human_pp keypoint variant
         **kwargs,
     ):
+        self.agent_pos_dim = agent_pos_dim
         if synthetic is not None:
             self.replay_buffer = make_synthetic_pusht(n_episodes=synthetic, seed=seed)
         else:
@@ -102,7 +104,7 @@ class PushTImageDataset:
         n.fit(
             {
                 "action": self.replay_buffer["action"],
-                "agent_pos": self.replay_buffer["state"][..., :2],
+                "agent_pos": self.replay_buffer["state"][..., : self.agent_pos_dim],
             },
             last_n_dims=1,
             mode="limits",
@@ -115,7 +117,7 @@ class PushTImageDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         sample = self.sampler.sample_sequence(idx)
-        agent_pos = sample["state"][:, :2].astype(np.float32)
+        agent_pos = sample["state"][:, : self.agent_pos_dim].astype(np.float32)
         image = np.moveaxis(sample["img"], -1, 1).astype(np.float32) / 255.0
 
         if self.data_aug:

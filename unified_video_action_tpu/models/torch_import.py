@@ -297,3 +297,56 @@ def merge_params(init_tree: dict, imported: dict) -> dict:
 
     merged = rec(init_tree, imported, ())
     return merged, skipped
+
+
+# ---------------------------------------------------------------------------
+# Tolerant torch checkpoint loading
+# ---------------------------------------------------------------------------
+
+
+def load_torch_checkpoint(path: str):
+    """torch.load a reference checkpoint even when its pickled config graph
+    references packages that aren't installed here (omegaconf, hydra, dill
+    payloads — workspace/base_workspace.py:33-77 stores the resolved cfg inside
+    the checkpoint). Missing classes unpickle as inert stubs; the tensors in
+    state_dicts are unaffected."""
+    import importlib
+    import io
+    import pickle
+
+    import torch
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            self.__dict__["_args"] = (a, k)
+
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    class _TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                mod = importlib.import_module(module)
+                return getattr(mod, name)
+            except Exception:
+                stub = type(f"{module}.{name}", (_Stub,), {})
+                return stub
+
+    class _PickleModule:
+        Unpickler = _TolerantUnpickler
+
+        @staticmethod
+        def load(f, **kw):
+            return _TolerantUnpickler(f).load()
+
+        @staticmethod
+        def loads(s, **kw):
+            return _TolerantUnpickler(io.BytesIO(s)).load()
+
+    return torch.load(
+        path, map_location="cpu", weights_only=False, pickle_module=_PickleModule
+    )

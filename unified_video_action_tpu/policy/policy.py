@@ -217,9 +217,7 @@ class UnifiedVideoActionPolicy:
         return params
 
     def _load_vae_ckpt(self, path, init_tree):
-        import torch
-
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = torch_import.load_torch_checkpoint(path)
         sd = sd.get("model", sd)
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         imported = torch_import.import_kl_vae(sd)
@@ -229,9 +227,7 @@ class UnifiedVideoActionPolicy:
         return jax.tree.map(jnp.asarray, merged)
 
     def _load_mar_ckpt(self, path, init_tree):
-        import torch
-
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = torch_import.load_torch_checkpoint(path)
         if "state_dicts" in ckpt:  # framework/reference checkpoint
             sd = {
                 k[len("model."):]: v

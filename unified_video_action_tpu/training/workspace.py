@@ -202,6 +202,28 @@ class TrainWorkspace:
                 **{k: float(v) for k, v in m.items()},
             }
 
+            # periodic video-generation FVD (reference workspace :350-359)
+            sample_every = 1 if debug else int(tcfg.get("sample_every", 5))
+            if (
+                self.policy.mar_cfg.predict_video
+                and (self.epoch % sample_every) == 0
+                and len(val_loader) > 0
+            ):
+                from unified_video_action_tpu.eval.offline import test_video_fvd
+
+                eval_params = {"mar": state.ema_params, "vae": state.vae_params}
+                key, sub = jax.random.split(key)
+                try:
+                    step_log.update(
+                        test_video_fvd(
+                            self.policy, eval_params, val_loader, sub,
+                            num_batches=1 if debug else 4,
+                            output_dir=os.path.join(self.output_dir, "media"),
+                        )
+                    )
+                except Exception as e:  # video eval must never kill training
+                    print(f"[fvd] skipped: {e}")
+
             # validation: action-L2 over val split (reference test_action_l2)
             if (self.epoch % val_every) == 0 and len(val_loader) > 0:
                 val_losses = []
