@@ -310,6 +310,95 @@ class UnifiedVideoActionPolicy:
 
         return jax.jit(fn)
 
+    def _build_predict_cached_fn(self, n_new: int):
+        """Variant of the predict fn that reuses VAE latents for conditioning
+        frames already encoded at the previous control step (the obs window
+        slides by n_action_steps, so with the stride-4 selection 2 of the 4
+        cond frames repeat). ``n_new`` frames are encoded; the rest come from
+        the cache. Returns (normalized-action, full latents for re-caching)."""
+        c = self.mar_cfg
+        act_field = self.normalizer["action"] if self.normalizer_type == "all" else None
+        scale = None if act_field is None else jnp.asarray(act_field.scale)
+        offset = None if act_field is None else jnp.asarray(act_field.offset)
+        temperature = float(_cfg_get(self.amp, "temperature", 1.0))
+
+        def fn(params, new_frames, cached_latents, key):
+            # new_frames: (B, n_new, 3, H, W) in [0,1]; cached: (B, 4-n_new, C, h, w)
+            frames = image_util.resize_video(new_frames, c.img_size)
+            frames = image_util.to_model_range(frames)
+            k_vae, k_samp = jax.random.split(key)
+            new_lat = self._encode_frames(params["vae"], frames, k_vae)
+            cond = jnp.concatenate([cached_latents, new_lat], axis=1)
+            nact = self.mar.apply(
+                {"params": params["mar"]},
+                cond, k_samp, temperature=temperature,
+                method=Mar.sample_policy,
+            )
+            nact = nact[..., : self.action_dim]
+            if scale is not None:
+                nact = (nact - offset) / scale
+            return nact, cond
+
+        return jax.jit(fn)
+
+    def predict_action_cached(
+        self,
+        params: Dict[str, Any],
+        obs_dict: Dict[str, np.ndarray],
+        key: Array,
+        cache: Optional[np.ndarray] = None,
+        n_shift: int = 8,
+    ):
+        """Rollout-serving fast path with latent reuse. Returns
+        (result dict, new cache). ``cache`` carries the previous call's cond
+        latents (B, 4, C, h, w); ``n_shift`` = env steps between calls."""
+        obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
+        image = jnp.asarray(obs_dict["image"])
+        T_obs = image.shape[1]
+        idx = list(frame_util.select_frame_indices(T_obs, eval=True))
+        # positions whose frame was selected last call (shifted by n_shift)
+        reuse_from = [idx.index(p + n_shift) for p in idx if (p + n_shift) in idx]
+        n_reuse = len(reuse_from)
+        if cache is None or n_reuse == 0:
+            if "full_cached" not in self._predict_cache:
+                self._predict_cache["full_cached"] = self._build_predict_cached_fn(
+                    len(idx)
+                )
+            nact, cond = self._predict_cache["full_cached"](
+                params, image[:, idx],
+                jnp.zeros((image.shape[0], 0, *self._latent_shape()), jnp.float32),
+                key,
+            )
+            action_pred = np.asarray(jax.device_get(nact))
+            return (
+                {
+                    "action": action_pred[:, : self.n_action_steps],
+                    "action_pred": action_pred,
+                },
+                np.asarray(jax.device_get(cond)),
+            )
+        new_positions = idx[n_reuse:]
+        if "cached" not in self._predict_cache:
+            self._predict_cache["cached"] = self._build_predict_cached_fn(
+                len(new_positions)
+            )
+        cached = jnp.asarray(cache[:, reuse_from])
+        nact, cond = self._predict_cache["cached"](
+            params, image[:, new_positions], cached, key
+        )
+        action_pred = np.asarray(jax.device_get(nact))
+        return (
+            {
+                "action": action_pred[:, : self.n_action_steps],
+                "action_pred": action_pred,
+            },
+            np.asarray(jax.device_get(cond)),
+        )
+
+    def _latent_shape(self):
+        c = self.mar_cfg
+        return (c.vae_embed_dim, c.seq_hw, c.seq_hw)
+
     def predict_action(
         self,
         params: Dict[str, Any],

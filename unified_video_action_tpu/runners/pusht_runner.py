@@ -46,8 +46,10 @@ class PushTImageRunner:
         legacy_test: bool = True,
         n_envs: Optional[int] = None,
         vector_env: str = "sync",
+        latent_cache: bool = False,
         **kwargs,
     ):
+        self.latent_cache = latent_cache
         self.output_dir = output_dir
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
@@ -96,13 +98,22 @@ class PushTImageRunner:
                 done = np.zeros(len(fns), dtype=bool)
                 max_reward = np.zeros(len(fns))
                 steps = 0
+                cache = None
                 while not done.all() and steps < self.max_steps:
                     obs_dict = {
                         "image": obs["image"].astype(np.float32),
                         "agent_pos": obs["agent_pos"].astype(np.float32),
                     }
                     key, sub = jax.random.split(key)
-                    result = policy.predict_action(params, obs_dict, sub)
+                    if self.latent_cache:
+                        # reuse VAE latents for the cond frames that repeat as
+                        # the obs window slides by n_action_steps
+                        result, cache = policy.predict_action_cached(
+                            params, obs_dict, sub, cache=cache,
+                            n_shift=self.n_action_steps,
+                        )
+                    else:
+                        result = policy.predict_action(params, obs_dict, sub)
                     action = np.asarray(result["action"])
                     obs, rewards, dones, infos = venv.step(action)
                     max_reward = np.maximum(max_reward, rewards)
