@@ -281,13 +281,13 @@ class UnifiedVideoActionPolicy:
         offset = None if act_field is None else jnp.asarray(act_field.offset)
         temperature = float(_cfg_get(self.amp, "temperature", 1.0))
 
-        def fn(params, image, key, text_latents=None, proprio=None,
+        def fn(params, frames, key, text_latents=None, proprio=None,
                history_actions=None):
-            # image: (B, T_obs, 3, H, W) in [0,1]; select the 4 cond frames
-            # BEFORE resizing (4x less resize work + memory)
-            T_obs = image.shape[1]
-            idx = frame_util.select_frame_indices(T_obs, eval=True)
-            frames = image_util.resize_video(image[:, idx], c.img_size)
+            # frames: (B, n_cond, 3, H, W) — already host-selected; uint8 or
+            # [0,1] float (uint8 transfers 4x less over the host->device link)
+            if frames.dtype == jnp.uint8:
+                frames = frames.astype(jnp.float32) / 255.0
+            frames = image_util.resize_video(frames, c.img_size)
             frames = image_util.to_model_range(frames)
             k_vae, k_samp = jax.random.split(key)
             cond = self._encode_frames(params["vae"], frames, k_vae)
@@ -323,7 +323,10 @@ class UnifiedVideoActionPolicy:
         temperature = float(_cfg_get(self.amp, "temperature", 1.0))
 
         def fn(params, new_frames, cached_latents, key):
-            # new_frames: (B, n_new, 3, H, W) in [0,1]; cached: (B, 4-n_new, C, h, w)
+            # new_frames: (B, n_new, 3, H, W) uint8 or [0,1] float;
+            # cached: (B, 4-n_new, C, h, w)
+            if new_frames.dtype == jnp.uint8:
+                new_frames = new_frames.astype(jnp.float32) / 255.0
             frames = image_util.resize_video(new_frames, c.img_size)
             frames = image_util.to_model_range(frames)
             k_vae, k_samp = jax.random.split(key)
@@ -353,8 +356,10 @@ class UnifiedVideoActionPolicy:
         (result dict, new cache). ``cache`` carries the previous call's cond
         latents (B, 4, C, h, w); ``n_shift`` = env steps between calls."""
         obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
-        image = jnp.asarray(obs_dict["image"])
-        T_obs = image.shape[1]
+        image_np = np.asarray(obs_dict["image"])
+        if image_np.dtype != np.uint8 and image_np.max() <= 1.0 + 1e-6:
+            image_np = np.round(image_np * 255.0).astype(np.uint8)
+        T_obs = image_np.shape[1]
         idx = list(frame_util.select_frame_indices(T_obs, eval=True))
         # positions whose frame was selected last call (shifted by n_shift)
         reuse_from = [idx.index(p + n_shift) for p in idx if (p + n_shift) in idx]
@@ -365,8 +370,8 @@ class UnifiedVideoActionPolicy:
                     len(idx)
                 )
             nact, cond = self._predict_cache["full_cached"](
-                params, image[:, idx],
-                jnp.zeros((image.shape[0], 0, *self._latent_shape()), jnp.float32),
+                params, jnp.asarray(image_np[:, idx]),
+                jnp.zeros((image_np.shape[0], 0, *self._latent_shape()), jnp.float32),
                 key,
             )
             action_pred = np.asarray(jax.device_get(nact))
@@ -384,7 +389,7 @@ class UnifiedVideoActionPolicy:
             )
         cached = jnp.asarray(cache[:, reuse_from])
         nact, cond = self._predict_cache["cached"](
-            params, image[:, new_positions], cached, key
+            params, jnp.asarray(image_np[:, new_positions]), cached, key
         )
         action_pred = np.asarray(jax.device_get(nact))
         return (
@@ -409,7 +414,15 @@ class UnifiedVideoActionPolicy:
         """obs_dict: {"image": (B,T,3,H,W) float [0,1], ...} -> {"action",
         "action_pred"} (reference policy:221-320)."""
         obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
-        image = jnp.asarray(obs_dict["image"])
+        # host-side frame selection + uint8 transfer: ship ONLY the selected
+        # cond frames to the device (the obs stack is 4x larger, and float32
+        # is 4x wider than the underlying uint8 render)
+        image_np = np.asarray(obs_dict["image"])
+        idx = frame_util.select_frame_indices(image_np.shape[1], eval=True)
+        sel = image_np[:, idx]
+        if sel.dtype != np.uint8 and sel.max() <= 1.0 + 1e-6:
+            sel = np.round(sel * 255.0).astype(np.uint8)
+        image = jnp.asarray(sel)
 
         text_latents = None
         if self.language_emb_model is not None:
