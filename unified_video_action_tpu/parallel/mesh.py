@@ -68,3 +68,38 @@ def opt_state_sharding(mesh: Mesh, opt_state: Any) -> Any:
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec, opt_state)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (the reference's accelerate/SLURM multi-node
+    analog, SURVEY.md §2.9): call once per host before building the mesh; the
+    mesh then spans all hosts' devices, with the data axis riding ICI within a
+    slice and DCN across slices. No-ops on single-host setups and reads the
+    standard cluster env (coordinator/process vars) when args are omitted."""
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:
+        # single-host / already initialized
+        print(f"[distributed] not initialized ({e}); continuing single-host")
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a globally-sharded batch this host should load (per-host
+    data loading for multi-host DP)."""
+    import jax
+
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
