@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup (before this
+# conftest), so the env vars above can be too late; force the platform list
+# through jax.config as well (effective until the first backend init).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # JAX 0.9 defaults matmul/conv precision low even on CPU; parity tests need

@@ -98,8 +98,17 @@ class TrainWorkspace:
             num_workers=2,
         )
 
-        # mesh + optimizer + state
-        mesh = mesh_lib.make_mesh()
+        # mesh + optimizer + state: the data axis can't exceed the batch size
+        # (debug runs shrink the batch below the device count)
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        n_data = n_dev
+        while batch_size % n_data != 0:
+            n_data -= 1
+        mesh = mesh_lib.make_mesh(
+            n_data=n_data, devices=_jax.devices()[:n_data]
+        )
         steps_per_epoch = max(len(loader), 1)
         total_steps = steps_per_epoch * num_epochs
         opt_cfg = self.policy.optimizer_cfg
