@@ -179,3 +179,47 @@ def test_importer_roundtrip(tiny_model):
     np.testing.assert_allclose(
         merged["encoder_blocks"]["block_0"]["attn"]["qkv"]["kernel"], qkv_w.T
     )
+
+
+def test_wrist_image_variant():
+    """predict_wrist_img: second decoder head + 4-stream fusion (toolhang)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, predict_wrist_img=True, use_proprioception=True,
+        proprio_dim=9, proprio_use_image=True,
+    )
+    model = Mar(cfg)
+    B, T, C, H, W = 2, 4, cfg.vae_embed_dim, 4, 4
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, T, C, H, W))
+    cond = jax.random.normal(key, (B, T, C, H, W))
+    actions = jax.random.normal(key, (B, 16, cfg.action_dim))
+    proprio = {
+        "state": jax.random.normal(key, (B, 4, 9)),
+        "second_image": jax.random.normal(key, (B, T, C, H, W)),
+        "pred_second_image": jax.random.normal(key, (B, T, C, H, W)),
+    }
+    params = model.init(
+        {"params": key, "dropout": key},
+        x, cond, key, actions, proprio=proprio,
+        method=Mar.init_forward,
+    )["params"]
+    assert "diffloss_wrist" in params and "z_proj_wrist" in params
+
+    loss, vl, al = model.apply(
+        {"params": params},
+        x, cond, "full_dynamic_model", key,
+        actions=actions, proprio=proprio, train=True,
+        rngs={"dropout": key},
+    )
+    assert np.isfinite(float(loss)) and float(vl) > 0.0 and float(al) > 0.0
+
+    # video sampling returns the wrist stream (reference quirk, :1156-1158)
+    frames, act = model.apply(
+        {"params": params}, cond, key, num_iter=2,
+        proprio={"state": proprio["state"], "second_image": proprio["second_image"]},
+        method=Mar.sample_video,
+    )
+    assert frames.shape == (B * T, C, H, W)
+    assert np.isfinite(np.asarray(frames)).all()

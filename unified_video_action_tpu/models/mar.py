@@ -91,6 +91,7 @@ class MarConfig:
     use_history_action: bool = False
     action_mask_ratio: float = 0.5
     different_history_freq: bool = False
+    predict_wrist_img: bool = False
     predict_proprioception: bool = False
     proprio_dim: int = 0            # width of the concatenated proprio state vector
     proprio_pred_dim: int = 0       # target width for the proprio prediction head
@@ -205,6 +206,12 @@ class Mar(nn.Module):
         self.fake_latent_x = self.param("fake_latent_x", init02, (1, D))
         self.fake_action_latent = self.param("fake_action_latent", init02, (1, D))
 
+        if c.predict_wrist_img:
+            self.z_proj_wrist = dense(D, "z_proj_wrist")
+            self.fake_latent_wrist_x = self.param(
+                "fake_latent_wrist_x", init02, (1, D)
+            )
+
         if c.use_history_action:
             self.history_action_proj_cond = dense(D, "history_action_proj_cond")
             self.fake_latent_history_action = self.param(
@@ -279,6 +286,16 @@ class Mar(nn.Module):
                 dtype=c.dtype,
                 name="diffloss",
             )
+            if c.predict_wrist_img:
+                self.diffloss_wrist = VideoDiffusionHead(
+                    target_channels=c.token_embed_dim,
+                    z_channels=c.decoder_embed_dim,
+                    width=c.diffloss_w,
+                    depth=c.diffloss_d,
+                    num_sampling_steps=c.num_sampling_steps,
+                    dtype=c.dtype,
+                    name="diffloss_wrist",
+                )
         if c.predict_action:
             self.diffactloss = ActionDiffusionHead(
                 target_channels=c.action_dim,
@@ -331,21 +348,36 @@ class Mar(nn.Module):
         flat_mask = mask.reshape(B, L)
 
         # --- modality streams (each (B, L, D)) ---
+        wrist_x = None
         if task_mode == "policy_model":
             cond = self.z_proj_cond(cond_tokens).reshape(B, L, -1)
             x = jnp.broadcast_to(self.fake_latent_x[None], (B, L, cond.shape[-1]))
             x = x.astype(cond.dtype)
+            if c.predict_wrist_img:
+                wrist_x = jnp.broadcast_to(
+                    self.fake_latent_wrist_x[None], (B, L, cond.shape[-1])
+                ).astype(cond.dtype)
         elif task_mode == "inverse_model":
             x = self.z_proj(x_tokens).reshape(B, L, -1)
             cond = jnp.broadcast_to(self.fake_latent_x[None], (B, L, x.shape[-1]))
             cond = cond.astype(x.dtype)
+            if c.predict_wrist_img:
+                wrist_x = self.z_proj_wrist(
+                    proprio["pred_second_image_tokens"]
+                ).reshape(B, L, -1)
         else:
             cond = self.z_proj_cond(cond_tokens).reshape(B, L, -1)
             x = self.z_proj(x_tokens).reshape(B, L, -1)
             fake = self.fake_latent_x[None].astype(x.dtype)
             x = jnp.where(flat_mask[..., None] == 1.0, fake, x)
+            if c.predict_wrist_img:
+                wrist_x = self.z_proj_wrist(
+                    proprio["pred_second_image_tokens"]
+                ).reshape(B, L, -1)
+                fake_w = self.fake_latent_wrist_x[None].astype(wrist_x.dtype)
+                wrist_x = jnp.where(flat_mask[..., None] == 1.0, fake_w, wrist_x)
 
-        parts = [x, cond]
+        parts = [x, wrist_x, cond] if wrist_x is not None else [x, cond]
 
         if c.use_history_action:
             if history_actions is None:
@@ -479,16 +511,23 @@ class Mar(nn.Module):
             cond_frames.reshape(B * T, *cond_frames.shape[2:]), c.patch_size
         ).reshape(B, T, c.seq_len, c.token_embed_dim)
 
-        if proprio is not None and "second_image" in proprio:
-            si = proprio["second_image"]
+        if proprio is not None:
             proprio = dict(proprio)
-            proprio["second_image_tokens"] = patchify(
-                si.reshape(B * T, *si.shape[2:]), c.patch_size
-            ).reshape(B, T, c.seq_len, c.token_embed_dim)
+            for k in ("second_image", "pred_second_image"):
+                if k in proprio:
+                    si = proprio[k]
+                    proprio[k + "_tokens"] = patchify(
+                        si.reshape(B * T, *si.shape[2:]), c.patch_size
+                    ).reshape(B, T, c.seq_len, c.token_embed_dim)
 
         gt_latents = jax.lax.stop_gradient(x_tokens).reshape(
             B, c.total_tokens, c.token_embed_dim
         )
+        gt_wrist_latents = None
+        if c.predict_wrist_img:
+            gt_wrist_latents = jax.lax.stop_gradient(
+                proprio["pred_second_image_tokens"]
+            ).reshape(B, c.total_tokens, c.token_embed_dim)
 
         if text_latents is not None and c.language_emb_model == "clip":
             text_latents = self.text_proj_cond(text_latents)
@@ -521,6 +560,10 @@ class Mar(nn.Module):
             "video_model", "dynamic_model", "full_dynamic_model"
         ):
             video_loss = self.diffloss(gt_latents, z, flat_mask, kv)
+            if c.predict_wrist_img:
+                video_loss = video_loss + self.diffloss_wrist(
+                    gt_wrist_latents, z, flat_mask, jax.random.fold_in(kv, 1)
+                )
         if c.predict_action and task_mode in (
             "policy_model", "inverse_model", "full_dynamic_model"
         ):
@@ -656,6 +699,13 @@ class Mar(nn.Module):
         if text_latents is not None and c.language_emb_model == "clip":
             text_latents = self.text_proj_cond(text_latents)
 
+        if proprio is not None and "second_image" in proprio:
+            si = proprio["second_image"]
+            proprio = dict(proprio)
+            proprio["second_image_tokens"] = patchify(
+                si.reshape(B * T, *si.shape[2:]), c.patch_size
+            ).reshape(B, T, S, c.token_embed_dim)
+
         k_order, key = jax.random.split(key)
         order_rank = sample_orders(k_order, B, S)  # (B, S) ranks
         # order_perm[b, r] = token position with rank r (inverse permutation):
@@ -666,6 +716,9 @@ class Mar(nn.Module):
         order_perm = jnp.argsort(order_rank, axis=-1)
 
         tokens = jnp.zeros((B, T, S, c.token_embed_dim))
+        wrist_tokens = (
+            jnp.zeros((B, T, S, c.token_embed_dim)) if c.predict_wrist_img else None
+        )
         spatial_mask = jnp.ones((B, S))
         act_out = None
 
@@ -680,6 +733,9 @@ class Mar(nn.Module):
 
         for step in range(num_iter):
             mask = jnp.broadcast_to(spatial_mask[:, None, :], (B, T, S))
+            if c.predict_wrist_img:
+                proprio = dict(proprio or {})
+                proprio["pred_second_image_tokens"] = wrist_tokens
             h = self.forward_encoder(
                 tokens,
                 mask,
@@ -731,8 +787,18 @@ class Mar(nn.Module):
             tokens = jax.vmap(
                 lambda tok, pos, val: tok.at[:, pos].set(val)
             )(tokens, pred_pos, sampled)
+            if c.predict_wrist_img:
+                key, kw = jax.random.split(key)
+                sampled_w = self.diffloss_wrist.sample(
+                    z_g.reshape(B * T * n_pred, -1), kw,
+                    temperature=temperature, cfg=cfg_iter,
+                ).reshape(B, T, n_pred, c.token_embed_dim)
+                wrist_tokens = jax.vmap(
+                    lambda tok, pos, val: tok.at[:, pos].set(val)
+                )(wrist_tokens, pred_pos, sampled_w)
             spatial_mask = (order_rank < next_len).astype(jnp.float32)
 
-        flat = tokens.reshape(B * T, S, c.token_embed_dim)
+        out_tokens = wrist_tokens if c.predict_wrist_img else tokens
+        flat = out_tokens.reshape(B * T, S, c.token_embed_dim)
         frames = unpatchify(flat, c.patch_size, c.vae_embed_dim, c.seq_hw)
         return frames, act_out

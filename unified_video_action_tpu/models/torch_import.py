@@ -236,7 +236,8 @@ def import_mar(
     has = lambda k: (k + ".weight") in sd or k in sd
 
     for name in (
-        "z_proj_cond", "z_proj", "action_proj_cond", "history_action_proj_cond",
+        "z_proj_cond", "z_proj", "z_proj_wrist", "action_proj_cond",
+        "history_action_proj_cond",
         "proprioception_proj_cond", "proprioception_image_proj_cond",
         "text_proj_cond", "proj_cond_x_layer", "decoder_embed",
     ):
@@ -247,7 +248,7 @@ def import_mar(
             assign_module(tree, (name,), name, sd, "norm")
     for name in (
         "fake_latent_x", "fake_action_latent", "fake_latent",
-        "fake_latent_history_action",
+        "fake_latent_history_action", "fake_latent_wrist_x",
         "temporal_pos_embed", "spatial_pos_embed",
         "decoder_temporal_pos_embed", "decoder_spatial_pos_embed",
         "diffusion_temporal_embed", "diffusion_spatial_embed",
@@ -264,6 +265,9 @@ def import_mar(
     if "diffloss.net.input_proj.weight" in sd:
         sub = import_mlp_denoiser(sd, diffloss_depth, prefix="diffloss.net.")
         _set(tree, ("diffloss", "net"), sub)
+    if "diffloss_wrist.net.input_proj.weight" in sd:
+        sub = import_mlp_denoiser(sd, diffloss_depth, prefix="diffloss_wrist.net.")
+        _set(tree, ("diffloss_wrist", "net"), sub)
     if "diffactloss.net.input_proj.weight" in sd:
         _import_action_head(tree, ("diffactloss",), "diffactloss.", diffloss_act_depth, sd)
     if "diffproploss.net.input_proj.weight" in sd:

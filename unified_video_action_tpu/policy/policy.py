@@ -124,6 +124,7 @@ class UnifiedVideoActionPolicy:
             use_history_action=self.use_history_action,
             action_mask_ratio=action_mask_ratio,
             different_history_freq=self.different_history_freq,
+            predict_wrist_img=bool(predict_wrist_img),
             predict_proprioception=bool(predict_proprioception),
             proprio_dim=proprio_dim,
             proprio_pred_dim={"umi": 6, "toolhang": 9}.get(self.task_name, 0),
@@ -181,10 +182,12 @@ class UnifiedVideoActionPolicy:
             jnp.zeros((B, 512)) if c.language_emb_model == "clip" else None
         )
         proprio = None
-        if c.use_proprioception:
+        if c.use_proprioception or c.predict_wrist_img:
             proprio = {"state": jnp.zeros((B, 4, c.proprio_dim))}
             if c.proprio_use_image:
                 proprio["second_image"] = lat
+            if c.predict_wrist_img:
+                proprio["pred_second_image"] = lat
         proprio_target = (
             jnp.zeros((B, c.num_action_tokens, c.proprio_pred_dim))
             if c.predict_proprioception
