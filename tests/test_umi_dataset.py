@@ -28,7 +28,7 @@ def test_item_schema(buf):
     np.testing.assert_array_equal(
         obs["img_indices"][:, 0], [3, 7, 11, 15, 19, 23, 27, 31]
     )
-    assert item["action"].shape == (16, 10)
+    assert item["action"].shape == (32, 10)
 
 
 def test_relative_pose_identity_at_current(buf):

@@ -41,7 +41,7 @@ from unified_video_action_tpu.utils.pose import (
 CAMERA_KEY = "camera0_rgb"
 PROPRIO_WINDOW = list(range(-15, 17))  # 32 steps around the current frame
 CAMERA_INDICES = list(range(-12, 17, 4))  # 8 frames
-ACTION_LEN = 16
+ACTION_LEN = 32  # full window; the policy halves it with shift_action=False
 OBS_LEN = 16
 
 
@@ -184,7 +184,7 @@ class UmiLazyDataset:
 
         action = np.concatenate(
             [pose10d[-ACTION_LEN:], grip[-ACTION_LEN:].astype(np.float32)], axis=-1
-        )
+        )  # (32, 10): the 32-step window; future chunk = last 16 after split
         return {"obs": obs, "action": action, "dataset_name": self.name}
 
 

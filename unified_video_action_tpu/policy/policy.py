@@ -493,7 +493,7 @@ class UnifiedVideoActionPolicy:
         different_history_freq); VAE encoding is frozen (stop-gradient).
         """
         c = self.mar_cfg
-        obs = batch["obs"]
+        obs = image_util.remap_image_keys(self.task_name, dict(batch["obs"]))
         image = obs["image"]
         B, T = image.shape[:2]
 
@@ -525,7 +525,9 @@ class UnifiedVideoActionPolicy:
             actions, T, self.shift_action, self.use_history_action
         )
 
-        proprio = None  # per-task proprio wiring lands with the umi/toolhang datasets
+        proprio, proprio_target = self._build_proprio_train(
+            params, obs, frame_indices, jax.random.fold_in(key, 3)
+        )
 
         loss, video_loss, act_loss = self.mar.apply(
             {"params": params["mar"]},
@@ -534,10 +536,71 @@ class UnifiedVideoActionPolicy:
             actions=future,
             text_latents=batch.get("language_latents"),
             proprio=proprio,
+            proprio_target=proprio_target,
             train=True,
             rngs={"dropout": jax.random.fold_in(k_fwd, 7)},
         )
         return loss, (video_loss, act_loss)
+
+    def _build_proprio_train(self, params, obs, frame_indices, key):
+        """Per-task proprioception/wrist streams for training (reference
+        process_data, utils/data_utils.py:228-360).
+
+        * umi: obs fields already arrive as the 16-step relative-pose window
+          from UmiLazyDataset; state = concat of the 4 pose/gripper keys.
+        * toolhang-style (proprio_use_image): the wrist camera is frame-
+          selected, resized, and VAE-encoded; the cond half conditions the
+          encoder (second_image) and the target half supervises the wrist head
+          (pred_second_image); eef pos/quat/gripper split into obs/pred halves.
+        """
+        c = self.mar_cfg
+        if not (c.use_proprioception or c.predict_wrist_img):
+            return None, None
+        proprio: Dict[str, Any] = {}
+        proprio_target = None
+
+        if "umi" in self.task_name:
+            keys = [
+                "robot0_eef_pos",
+                "robot0_eef_rot_axis_angle",
+                "robot0_gripper_width",
+                "robot0_eef_rot_axis_angle_wrt_start",
+            ]
+            proprio["state"] = jnp.concatenate(
+                [jnp.asarray(obs[k]) for k in keys], axis=-1
+            )
+        elif "pusht" in self.task_name:
+            ap = jnp.asarray(obs["agent_pos"])
+            proprio["state"] = ap[:, : ap.shape[1] // 2]
+        else:  # robomimic-style (toolhang)
+            state_keys = [
+                "robot0_eef_pos", "robot0_eef_quat", "robot0_gripper_qpos",
+            ]
+            full = jnp.concatenate(
+                [jnp.asarray(obs[k]) for k in state_keys], axis=-1
+            )
+            half = full.shape[1] // 2
+            proprio["state"] = full[:, :half]
+            if c.predict_proprioception:
+                proprio_target = full[:, half:]
+
+        if c.proprio_use_image or c.predict_wrist_img:
+            wrist = jnp.asarray(obs["wrist_image"])
+            wf = image_util.resize_video(
+                wrist[:, jnp.asarray(frame_indices)], c.img_size
+            )
+            wf = image_util.to_model_range(wf)
+            k1, k2 = jax.random.split(key)
+            n_sel = wf.shape[1]
+            wrist_cond = jax.lax.stop_gradient(
+                self._encode_frames(params["vae"], wf[:, : n_sel // 2], k1)
+            )
+            proprio["second_image"] = wrist_cond
+            if c.predict_wrist_img:
+                proprio["pred_second_image"] = jax.lax.stop_gradient(
+                    self._encode_frames(params["vae"], wf[:, n_sel // 2 :], k2)
+                )
+        return proprio, proprio_target
 
     def choose_task_mode(self, rng: np.random.Generator) -> str:
         """Host-side per-batch mode choice (reference uses random.choice)."""
