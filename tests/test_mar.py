@@ -223,3 +223,24 @@ def test_wrist_image_variant():
     )
     assert frames.shape == (B * T, C, H, W)
     assert np.isfinite(np.asarray(frames)).all()
+
+
+@pytest.mark.parametrize("variant", ["conv_ori", "conv2", "fc2"])
+def test_action_pool_variants(variant):
+    """Alternative DiffActLoss poolings produce a valid (B, 16, A) chunk."""
+    from unified_video_action_tpu.models.heads import ActionDiffusionHead
+
+    head = ActionDiffusionHead(
+        target_channels=2, z_channels=64, width=32, depth=1,
+        num_actions=16, act_diff_testing_steps="2",
+        act_model_type=variant,
+    )
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (2, 64, 64))  # (B, T*S=4*16, D)
+    target = jax.random.normal(key, (2, 16, 2))
+    params = head.init({"params": key}, target, z, key)["params"]
+    loss = head.apply({"params": params}, target, z, key)
+    assert np.isfinite(float(loss))
+    act = head.apply({"params": params}, z, key, method=ActionDiffusionHead.sample)
+    assert act.shape == (2, 16, 2)
+    assert np.isfinite(np.asarray(act)).all()

@@ -130,6 +130,66 @@ class ConvFcPool(nn.Module):
         return z
 
 
+class ConvOriPool(nn.Module):
+    """``conv_ori`` variant: temporal ConvTranspose3d (4 frames -> 16 slots)
+    + global spatial average (diffusion_action_loss.py:63-72,126-135)."""
+
+    z_channels: int
+    n_frames: int = 4
+    num_actions: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        B, TS, D = z.shape
+        T = self.n_frames
+        S = TS // T
+        W = int(round(S ** 0.5))
+        z = z.reshape(B, T, W, W, D)  # NDHWC
+        z = nn.ConvTranspose(
+            D, kernel_size=(4, 1, 1), strides=(4, 1, 1), dtype=self.dtype,
+            name="conv_transpose3d",
+        )(z)
+        return z.mean(axis=(2, 3))  # (B, 16, D)
+
+
+class Conv2Pool(nn.Module):
+    """``conv2`` variant: tokens-as-channels Conv1d stack 1024 -> 256 -> 16
+    convolving along the feature axis (diffusion_action_loss.py:74-79)."""
+
+    z_channels: int
+    num_actions: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        # (B, TS, D) -> (B, D, TS): conv along D with TS input channels
+        x = jnp.swapaxes(z, 1, 2)
+        x = nn.Conv(256, kernel_size=(7,), padding=3, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_actions, kernel_size=(7,), padding=3,
+                    dtype=self.dtype, name="conv2")(x)
+        return jnp.swapaxes(x, 1, 2)  # (B, 16, D)
+
+
+class Fc2Pool(nn.Module):
+    """``fc2`` variant: token-mixing MLP 1024 -> 256 -> 16
+    (diffusion_action_loss.py:81-86)."""
+
+    z_channels: int
+    num_actions: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        x = jnp.swapaxes(z, 1, 2)  # (B, D, TS)
+        x = nn.Dense(256, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.num_actions, dtype=self.dtype, name="fc2")(x)
+        return jnp.swapaxes(x, 1, 2)
+
+
 class ActionDiffusionHead(nn.Module):
     """DiffActLoss equivalent (``conv_fc`` variant; also used for proprioception)."""
 
@@ -145,17 +205,18 @@ class ActionDiffusionHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        if self.act_model_type != "conv_fc":
-            raise NotImplementedError(
-                f"act_model_type={self.act_model_type!r}; only conv_fc (the "
-                "reference default) is implemented"
-            )
-        self.pool = ConvFcPool(
-            self.z_channels,
-            n_frames=self.n_frames,
-            num_actions=self.num_actions,
-            dtype=self.dtype,
-        )
+        pool_cls = {
+            "conv_fc": ConvFcPool,
+            "conv_ori": ConvOriPool,
+            "conv2": Conv2Pool,
+            "fc2": Fc2Pool,
+        }
+        if self.act_model_type not in pool_cls:
+            raise NotImplementedError(self.act_model_type)
+        kwargs = dict(num_actions=self.num_actions, dtype=self.dtype)
+        if self.act_model_type in ("conv_fc", "conv_ori"):
+            kwargs["n_frames"] = self.n_frames
+        self.pool = pool_cls[self.act_model_type](self.z_channels, **kwargs)
         self.net = MlpDenoiser(
             in_channels=self.target_channels,
             model_channels=self.width,
