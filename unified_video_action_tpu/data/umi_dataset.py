@@ -273,3 +273,32 @@ def make_synthetic_umi(
             }
         )
     return buf
+
+
+def build_umi_multi_from_config(
+    datasets_cfg: Dict[str, dict],
+    val_ratio: float = 0.02,
+    random_img_sampling: bool = False,
+    seed: int = 42,
+    text_encoder=None,
+    **kwargs,
+) -> "UmiMultiDataset":
+    """Construct UmiMultiDataset from the task config's ``datasets`` block
+    ({name: {path, mask_mirror, prompt}}) — config-level equivalent of the
+    reference's UmiMultiDataset(dataset_root_dir=..., dataset_names=...)."""
+    datasets: Dict[str, UmiLazyDataset] = {}
+    prompts: Dict[str, str] = {}
+    for name, spec in datasets_cfg.items():
+        buf = ReplayBuffer.load(spec["path"])
+        datasets[name] = UmiLazyDataset(
+            buf,
+            name=name,
+            mask_mirror=bool(spec.get("mask_mirror", False)),
+            random_img_sampling=random_img_sampling,
+            val_ratio=val_ratio,
+            seed=seed,
+        )
+        if "prompt" in spec:
+            prompts[name] = spec["prompt"]
+    return UmiMultiDataset(datasets, language_prompts=prompts,
+                           text_encoder=text_encoder, seed=seed)

@@ -81,6 +81,7 @@ class TrainWorkspace:
         )
         ds_cfg.pop("language_emb_model", None)
         ds_cfg.pop("dataset_type", None)
+        ds_cfg.pop("normalizer_type", None)
         from unified_video_action_tpu.config import get_class
 
         dataset = get_class(target)(**ds_cfg)
