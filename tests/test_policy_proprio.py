@@ -87,3 +87,36 @@ def test_toolhang_wrist_proprio_loss():
     )
     assert np.isfinite(float(loss))
     assert float(vl) > 0.0 and float(al) > 0.0
+
+
+def test_umi_predict_action_with_proprio():
+    """Eval-path proprio conditioning (umi): predict_action consumes the
+    relative-pose obs dict."""
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [10]}},
+        vae_model_params=TINY_VAE,
+        autoregressive_model_params=TINY_AMP,
+        action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
+        task_name="umi",
+        use_proprioception=True,
+        normalizer_type="none",
+        shift_action=False,
+        language_emb_model="clip",   # 64-token text buffer + hash fallback
+        compute_dtype="float32",
+    )
+    params = policy.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B = 2
+    obs = {
+        "camera0_rgb": rng.rand(B, 16, 3, 32, 32).astype(np.float32),
+        "robot0_eef_pos": rng.randn(B, 16, 3).astype(np.float32),
+        "robot0_eef_rot_axis_angle": rng.randn(B, 16, 6).astype(np.float32),
+        "robot0_gripper_width": rng.rand(B, 16, 1).astype(np.float32),
+        "robot0_eef_rot_axis_angle_wrt_start": rng.randn(B, 16, 6).astype(np.float32),
+    }
+    lang = rng.randn(B, 512).astype(np.float32)
+    result = policy.predict_action(
+        params, obs, jax.random.PRNGKey(1), language_goal=lang
+    )
+    assert result["action"].shape == (B, 8, 10)
+    assert np.isfinite(result["action_pred"]).all()

@@ -208,14 +208,32 @@ def _import_vit_blocks(tree, flax_prefix, torch_prefix, depth, sd):
 
 
 def _import_action_head(tree, flax_prefix, torch_prefix, depth, sd):
-    """DiffActLoss conv_fc variant -> ActionDiffusionHead."""
+    """DiffActLoss -> ActionDiffusionHead (all four pooling variants)."""
     p = torch_prefix
-    assign_module(tree, flax_prefix + ("pool", "conv"), p + "conv.0", sd, "conv")
-    assign_module(tree, flax_prefix + ("pool", "fc1"), p + "fc.0", sd, "linear")
-    assign_module(tree, flax_prefix + ("pool", "fc2"), p + "fc.2", sd, "linear")
-    assign_module(tree, flax_prefix + ("pool", "interpolate"), p + "interpolate", sd, "linear")
-    assign_module(tree, flax_prefix + ("pool", "refine1"), p + "refine.0", sd, "linear")
-    assign_module(tree, flax_prefix + ("pool", "refine2"), p + "refine.2", sd, "linear")
+    if p + "conv.0.weight" in sd and p + "fc.0.weight" in sd:  # conv_fc
+        assign_module(tree, flax_prefix + ("pool", "conv"), p + "conv.0", sd, "conv")
+        assign_module(tree, flax_prefix + ("pool", "fc1"), p + "fc.0", sd, "linear")
+        assign_module(tree, flax_prefix + ("pool", "fc2"), p + "fc.2", sd, "linear")
+        assign_module(tree, flax_prefix + ("pool", "interpolate"), p + "interpolate", sd, "linear")
+        assign_module(tree, flax_prefix + ("pool", "refine1"), p + "refine.0", sd, "linear")
+        assign_module(tree, flax_prefix + ("pool", "refine2"), p + "refine.2", sd, "linear")
+    elif p + "conv_transpose3d.weight" in sd:  # conv_ori
+        w = sd[p + "conv_transpose3d.weight"]  # torch (in, out, kT, kH, kW)
+        _set(tree, flax_prefix + ("pool", "conv_transpose3d", "kernel"),
+             np.ascontiguousarray(np.transpose(w, (2, 3, 4, 0, 1))))
+        if p + "conv_transpose3d.bias" in sd:
+            _set(tree, flax_prefix + ("pool", "conv_transpose3d", "bias"),
+                 sd[p + "conv_transpose3d.bias"])
+    elif p + "conv.0.weight" in sd:  # conv2: Conv1d weights (out, in, k)
+        for ti, fname in (("conv.0", "conv1"), ("conv.2", "conv2")):
+            w = sd[p + ti + ".weight"]
+            _set(tree, flax_prefix + ("pool", fname, "kernel"),
+                 np.ascontiguousarray(np.transpose(w, (2, 1, 0))))
+            if p + ti + ".bias" in sd:
+                _set(tree, flax_prefix + ("pool", fname, "bias"), sd[p + ti + ".bias"])
+    elif p + "fc.0.weight" in sd:  # fc2
+        assign_module(tree, flax_prefix + ("pool", "fc1"), p + "fc.0", sd, "linear")
+        assign_module(tree, flax_prefix + ("pool", "fc2"), p + "fc.2", sd, "linear")
     sub = import_mlp_denoiser(sd, depth, prefix=p + "net.")
     _set(tree, flax_prefix + ("net",), sub)
 
