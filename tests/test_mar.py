@@ -244,3 +244,91 @@ def test_action_pool_variants(variant):
     act = head.apply({"params": params}, z, key, method=ActionDiffusionHead.sample)
     assert act.shape == (2, 16, 2)
     assert np.isfinite(np.asarray(act)).all()
+
+
+# ----------------------------------------------------------------------
+# classifier-free guidance (batch-duplicated, MAR-style)
+# ----------------------------------------------------------------------
+
+import dataclasses as _dc
+
+TINY_CLIP = _dc.replace(TINY, language_emb_model="clip")
+
+
+@pytest.fixture(scope="module")
+def tiny_clip_model():
+    model = Mar(TINY_CLIP)
+    B, T, C, H, W = 2, 4, TINY_CLIP.vae_embed_dim, 4, 4
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, T, C, H, W))
+    cond = jax.random.normal(key, (B, T, C, H, W))
+    actions = jax.random.normal(key, (B, 16, TINY_CLIP.action_dim))
+    text = jax.random.normal(key, (B, 512))
+    params = model.init(
+        {"params": key, "dropout": key},
+        x, cond, key, actions, text,
+        method=Mar.init_forward,
+    )["params"]
+    return model, params
+
+
+def test_sample_video_cfg_runs(tiny_clip_model):
+    """cfg>1 video sampling (batch-duplicated CFG, Muse linear schedule) runs
+    with correct shapes and finite values (mar_con_unified.py:1085-1107)."""
+    model, params = tiny_clip_model
+    B, T, C, H, W = 2, 4, TINY_CLIP.vae_embed_dim, 4, 4
+    key = jax.random.PRNGKey(5)
+    cond = jax.random.normal(key, (B, T, C, H, W))
+    text = jax.random.normal(key, (B, 512))
+    frames, act = model.apply(
+        {"params": params}, cond, key, num_iter=3, cfg=1.5,
+        text_latents=text,
+        method=Mar.sample_video,
+    )
+    assert frames.shape == (B * T, C, H, W)
+    assert act.shape == (B, 16, TINY_CLIP.action_dim)
+    assert np.isfinite(np.asarray(frames)).all()
+    assert np.isfinite(np.asarray(act)).all()
+
+
+def test_cfg_noop_when_uncond_equals_cond(tiny_clip_model):
+    """When the projected text equals the fake latent (cond == uncond), the
+    guided eps reduces to the conditional eps for EVERY cfg scale, so any two
+    cfg values must produce bit-identical videos under the same key. Catches
+    half-batch misalignment in the duplicated-CFG plumbing."""
+    model, params = tiny_clip_model
+    import flax
+
+    params = flax.core.unfreeze(params)
+    D = TINY_CLIP.encoder_embed_dim
+    fake = np.asarray(params["fake_latent"])  # (1, D)
+    params["text_proj_cond"] = {
+        "kernel": jnp.zeros((512, D)),
+        "bias": jnp.asarray(fake[0]),
+    }
+    B, T, C, H, W = 2, 4, TINY_CLIP.vae_embed_dim, 4, 4
+    key = jax.random.PRNGKey(6)
+    cond = jax.random.normal(key, (B, T, C, H, W))
+    text = jax.random.normal(key, (B, 512))
+    outs = []
+    for cfg in (3.0, 7.0):
+        frames, act = model.apply(
+            {"params": params}, cond, key, num_iter=2, cfg=cfg,
+            text_latents=text,
+            method=Mar.sample_video,
+        )
+        outs.append((np.asarray(frames), np.asarray(act)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_cfg_rejected_without_text(tiny_model):
+    model, params = tiny_model
+    B, T, C, H, W = 2, 4, TINY.vae_embed_dim, 4, 4
+    key = jax.random.PRNGKey(7)
+    cond = jax.random.normal(key, (B, T, C, H, W))
+    with pytest.raises(ValueError, match="cfg"):
+        model.apply(
+            {"params": params}, cond, key, num_iter=2, cfg=2.0,
+            method=Mar.sample_video,
+        )

@@ -683,13 +683,24 @@ class Mar(nn.Module):
         Static num_iter; each round predicts ALL tokens densely and blends only
         the newly-revealed ones — cosine schedule over rounds, per-round CFG
         scale following Muse (mar_con_unified.py:1049-1099).
+
+        cfg != 1.0 runs batch-duplicated classifier-free guidance (MAR-style,
+        mar_con_unified.py:1085-1107 + diffusion_loss.py:285-293): the
+        unconditional half replaces the projected text latent with the learned
+        ``fake_latent`` (the same latent training drops to), the encoder and
+        decoder run on the 2B batch, and the video head blends
+        eps = uncond + cfg_iter·(cond − uncond). The action head always samples
+        at cfg 1 from the conditional half (reference act_cfg=1.0,
+        mar_con_unified.py:1038).
         """
-        if cfg != 1.0:
-            raise NotImplementedError(
-                "cfg != 1.0 video sampling (batch-duplicated CFG) lands in a "
-                "later round; all reference configs use cfg=1 (uva.yaml:40)"
-            )
         c = self.cfg
+        use_cfg = cfg != 1.0
+        if use_cfg and (c.language_emb_model != "clip" or text_latents is None):
+            raise ValueError(
+                "cfg != 1.0 requires CLIP text conditioning (the only latent "
+                "trained with drop), got "
+                f"language_emb_model={c.language_emb_model!r}"
+            )
         B, T = cond_frames.shape[:2]
         S = c.seq_len
         cond_tokens = patchify(
@@ -705,6 +716,18 @@ class Mar(nn.Module):
             proprio["second_image_tokens"] = patchify(
                 si.reshape(B * T, *si.shape[2:]), c.patch_size
             ).reshape(B, T, S, c.token_embed_dim)
+
+        dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
+        if use_cfg:
+            uncond = jnp.broadcast_to(
+                self.fake_latent, (B, text_latents.shape[-1])
+            ).astype(text_latents.dtype)
+            text_latents = jnp.concatenate([text_latents, uncond], axis=0)
+            cond_tokens = dup(cond_tokens)
+            history_actions = dup(history_actions)
+            actions = dup(actions)
+            if proprio is not None:
+                proprio = jax.tree.map(dup, dict(proprio))
 
         k_order, key = jax.random.split(key)
         order_rank = sample_orders(k_order, B, S)  # (B, S) ranks
@@ -735,10 +758,12 @@ class Mar(nn.Module):
             mask = jnp.broadcast_to(spatial_mask[:, None, :], (B, T, S))
             if c.predict_wrist_img:
                 proprio = dict(proprio or {})
-                proprio["pred_second_image_tokens"] = wrist_tokens
+                proprio["pred_second_image_tokens"] = (
+                    dup(wrist_tokens) if use_cfg else wrist_tokens
+                )
             h = self.forward_encoder(
-                tokens,
-                mask,
+                dup(tokens) if use_cfg else tokens,
+                dup(mask) if use_cfg else mask,
                 cond_tokens,
                 task_mode,
                 text_latents=text_latents,
@@ -756,7 +781,7 @@ class Mar(nn.Module):
             ):
                 key, ka = jax.random.split(key)
                 act_out = self.diffactloss.sample(
-                    z, ka, temperature=temperature, cfg=1.0
+                    z[:B] if use_cfg else z, ka, temperature=temperature, cfg=1.0
                 )
 
             # this round reveals ranks [next_len, cur_len) — a static-size set
@@ -774,15 +799,17 @@ class Mar(nn.Module):
 
             key, kv = jax.random.split(key)
             # gather conditioning for just the revealed positions, all frames
+            B2 = 2 * B if use_cfg else B
+            pp = dup(pred_pos) if use_cfg else pred_pos
             z_g = jnp.take_along_axis(
-                z.reshape(B, T, S, -1),
-                pred_pos[:, None, :, None],
+                z.reshape(B2, T, S, -1),
+                pp[:, None, :, None],
                 axis=2,
-            )  # (B, T, n_pred, D)
+            )  # (B2, T, n_pred, D)
             sampled = self.diffloss.sample(
-                z_g.reshape(B * T * n_pred, -1), kv,
+                z_g.reshape(B2 * T * n_pred, -1), kv,
                 temperature=temperature, cfg=cfg_iter,
-            ).reshape(B, T, n_pred, c.token_embed_dim)
+            ).reshape(B2, T, n_pred, c.token_embed_dim)[:B]
             # scatter back (batched over B via vmap'd scatter on the S axis)
             tokens = jax.vmap(
                 lambda tok, pos, val: tok.at[:, pos].set(val)
@@ -790,9 +817,9 @@ class Mar(nn.Module):
             if c.predict_wrist_img:
                 key, kw = jax.random.split(key)
                 sampled_w = self.diffloss_wrist.sample(
-                    z_g.reshape(B * T * n_pred, -1), kw,
+                    z_g.reshape(B2 * T * n_pred, -1), kw,
                     temperature=temperature, cfg=cfg_iter,
-                ).reshape(B, T, n_pred, c.token_embed_dim)
+                ).reshape(B2, T, n_pred, c.token_embed_dim)[:B]
                 wrist_tokens = jax.vmap(
                     lambda tok, pos, val: tok.at[:, pos].set(val)
                 )(wrist_tokens, pred_pos, sampled_w)
