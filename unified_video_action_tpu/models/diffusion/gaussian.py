@@ -408,15 +408,19 @@ class GaussianDiffusion:
         denoise_fn: DenoiseFn,
         x_start: Array,
         t: Array,
-        key: Array,
+        key: Optional[Array] = None,
+        noise: Optional[Array] = None,
     ) -> dict:
         """MSE(eps) + learned-range VB loss, per batch element (shape [N]).
 
         ``t`` indexes *this* schedule (for the training schedule the map is
         identity). The VB term sees the stop-gradient'ed eps so the variance
-        head cannot corrupt the mean prediction.
+        head cannot corrupt the mean prediction. Pass ``noise`` explicitly for
+        deterministic replay (parity tests); otherwise it is drawn from ``key``.
         """
-        noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
+        if noise is None:
+            assert key is not None, "training_losses needs key or noise"
+            noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
         x_t = self.q_sample(x_start, t, noise)
         model_output = denoise_fn(x_t, self._map_t(t))
 

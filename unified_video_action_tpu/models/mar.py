@@ -220,10 +220,12 @@ class Mar(nn.Module):
 
         if c.use_proprioception:
             self.proprioception_proj_cond = dense(D, "proprioception_proj_cond")
-            if c.proprio_use_image:
-                self.proprioception_image_proj_cond = dense(
-                    D, "proprioception_image_proj_cond"
-                )
+            # created unconditionally to match the reference's checkpoint
+            # surface (mar_con_unified.py:143-145 builds it even for umi,
+            # where it is never used in forward)
+            self.proprioception_image_proj_cond = dense(
+                D, "proprioception_image_proj_cond"
+            )
 
         if c.language_emb_model == "clip":
             self.fake_latent = self.param("fake_latent", init02, (1, D))
@@ -602,6 +604,10 @@ class Mar(nn.Module):
         extra = self.action_proj_cond(actions).sum() * 0.0
         if self.cfg.use_history_action:
             extra = extra + self.history_action_proj_cond(actions).sum() * 0.0
+        if self.cfg.use_proprioception and not self.cfg.proprio_use_image:
+            # unused at runtime but present in reference checkpoints
+            dummy = jnp.zeros((1, self.cfg.token_embed_dim))
+            extra = extra + self.proprioception_image_proj_cond(dummy).sum() * 0.0
         return out[0] + extra, out[1], out[2]
 
     # ------------------------------------------------------------------
