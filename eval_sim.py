@@ -66,12 +66,10 @@ def main(argv=None):
 
     eval_params = {"mar": state.ema_params, "vae": state.vae_params}
 
-    er_cfg = dict(cfg["task"]["env_runner"])
-    er_cfg.pop("_target_", None)
-    from unified_video_action_tpu.runners.pusht_runner import PushTImageRunner
+    from unified_video_action_tpu.runners.base import env_rollout, load_env_runner
 
-    runner = PushTImageRunner(output_dir=args.output_dir, **er_cfg)
-    log = runner.run(policy, eval_params, jax.random.PRNGKey(0))
+    runners = load_env_runner(cfg, output_dir=args.output_dir)
+    log = env_rollout(policy, eval_params, runners, jax.random.PRNGKey(0))
 
     name = os.path.basename(os.path.normpath(args.checkpoint))
     out_path = os.path.join(args.output_dir, f"eval_log_{name}.json")

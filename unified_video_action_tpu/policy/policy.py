@@ -64,9 +64,16 @@ class UnifiedVideoActionPolicy:
         compute_dtype: str = "bfloat16",
         attn_impl: str = "xla",
         optimizer: Optional[dict] = None,
+        vae_encode_chunk: Optional[int] = None,
         **kwargs,
     ):
         self.task_name = task_name or "pusht"
+        # frames per sequential VAE-encode chunk: the full-res conv
+        # activations of a (B*T, 256, 256, 128) encode dominate peak HBM at
+        # large batch (B=128 OOMs a 16G chip); lax.map over chunks bounds the
+        # working set at negligible throughput cost (the encoder is
+        # compute-bound).
+        self.vae_encode_chunk = int(vae_encode_chunk) if vae_encode_chunk else None
         self.n_action_steps = n_action_steps
         self.shift_action = shift_action
         self.language_emb_model = language_emb_model
@@ -267,9 +274,21 @@ class UnifiedVideoActionPolicy:
         """(B, T, 3, H, W) in [-1,1] -> (B, T, C, h, w) scaled latents."""
         B, T = frames.shape[:2]
         flat = frames.reshape(B * T, *frames.shape[2:])
-        mean, logvar = self.vae.apply(
-            {"params": vae_params}, flat, method=KLVae.encode
-        )
+        n = flat.shape[0]
+        ck = self.vae_encode_chunk
+        if ck and n > ck and n % ck == 0:
+            enc = lambda x: self.vae.apply(
+                {"params": vae_params}, x, method=KLVae.encode
+            )
+            mean, logvar = jax.lax.map(
+                enc, flat.reshape(n // ck, ck, *flat.shape[1:])
+            )
+            mean = mean.reshape(n, *mean.shape[2:])
+            logvar = logvar.reshape(n, *logvar.shape[2:])
+        else:
+            mean, logvar = self.vae.apply(
+                {"params": vae_params}, flat, method=KLVae.encode
+            )
         z = sample_posterior(mean, logvar, key) * LATENT_SCALE
         return z.reshape(B, T, *z.shape[1:])
 

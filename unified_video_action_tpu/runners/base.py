@@ -19,6 +19,22 @@ class BaseImageRunner:
         raise NotImplementedError
 
 
+def undo_transform_action(action, rot_tf):
+    """Abs-action (…, 10) pos3+rot6d+grip -> (…, 7) pos3+axis_angle+grip for
+    env stepping; dual-arm (…, 20) -> (…, 14)
+    (reference robomimic_image_runner.py:368-385, shared by the libero
+    runner via libero_image_runner.py:110-118,352-355)."""
+    import numpy as np
+
+    d = action.shape[-1]
+    is_dual = d == 20
+    a = action.reshape(*action.shape[:-1], 2, 10) if is_dual else action[..., None, :]
+    pos, rot6, grip = a[..., :3], a[..., 3:9], a[..., 9:]
+    rot = rot_tf.inverse(rot6)
+    out = np.concatenate([pos, rot, grip], axis=-1)
+    return out.reshape(*action.shape[:-1], -1)
+
+
 def load_env_runner(cfg, output_dir: Optional[str] = None):
     """Instantiate the env runner(s) for cfg.task. Returns a single runner, or
     a list for libero (one per task file)."""

@@ -48,9 +48,16 @@ class LiberoImageRunner(BaseImageRunner):
         n_obs_steps: int = 16,
         n_action_steps: int = 8,
         bddl_file: Optional[str] = None,
+        abs_action: bool = True,
+        env_backend: str = "libero",
         **kwargs,
     ):
         super().__init__(output_dir)
+        self.abs_action = abs_action
+        if abs_action:
+            from unified_video_action_tpu.utils.rotation import RotationTransformer
+
+            self.rot_tf = RotationTransformer("axis_angle", "rotation_6d")
         self.dataset_path = dataset_path
         self.language_goal = language_from_filename(dataset_path)
         self.log_prefix = os.path.basename(dataset_path).replace(".hdf5", "") + "/"
@@ -61,20 +68,29 @@ class LiberoImageRunner(BaseImageRunner):
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
         self.bddl_file = bddl_file
+        if env_backend not in ("libero", "stub"):
+            raise ValueError(f"unknown env_backend {env_backend!r}")
+        self.env_backend = env_backend
 
-    def _make_env_fns(self):
+    def _make_raw_env(self):
+        if self.env_backend == "stub":
+            from unified_video_action_tpu.envs.stub import StubLiberoEnv
+
+            return StubLiberoEnv(camera_heights=128, camera_widths=128)
         _require_libero()
         from libero.libero.envs import OffScreenRenderEnv
 
+        return OffScreenRenderEnv(
+            bddl_file_name=self.bddl_file, camera_heights=128, camera_widths=128
+        )
+
+    def _make_env_fns(self):
         fns = []
         for i in range(self.n_test):
             seed = self.test_start_seed + i
 
             def make(seed=seed):
-                env = OffScreenRenderEnv(
-                    bddl_file_name=self.bddl_file, camera_heights=128,
-                    camera_widths=128,
-                )
+                env = self._make_raw_env()
                 env.seed(seed)
                 return MultiStepWrapper(
                     _LiberoObsAdapter(env),
@@ -105,7 +121,14 @@ class LiberoImageRunner(BaseImageRunner):
                 action = np.asarray(result["action"])
                 if not np.isfinite(action).all():  # NaN guard (:347-349)
                     raise RuntimeError("non-finite action from policy")
-                obs, rewards, dones, infos = venv.step(action)
+                env_action = action
+                if self.abs_action:  # rot6d -> axis-angle (:352-355)
+                    from unified_video_action_tpu.runners.base import (
+                        undo_transform_action,
+                    )
+
+                    env_action = undo_transform_action(action, self.rot_tf)
+                obs, rewards, dones, infos = venv.step(env_action)
                 success = np.maximum(success, rewards)
                 done |= dones
                 steps += self.n_action_steps
@@ -154,12 +177,33 @@ class _LiberoObsAdapter:
         self.env.close()
 
 
+#: libero-10 task names (reference env/libero benchmark suite), used to name
+#: stub-backend runners when no dataset hdf5s are staged locally.
+LIBERO10_TASK_NAMES = (
+    "LIVING_ROOM_SCENE2_put_both_the_alphabet_soup_and_the_tomato_sauce_in_the_basket_demo",
+    "LIVING_ROOM_SCENE2_put_both_the_cream_cheese_box_and_the_butter_in_the_basket_demo",
+    "KITCHEN_SCENE3_turn_on_the_stove_and_put_the_moka_pot_on_it_demo",
+    "KITCHEN_SCENE4_put_the_black_bowl_in_the_bottom_drawer_of_the_cabinet_and_close_it_demo",
+    "LIVING_ROOM_SCENE5_put_the_white_mug_on_the_left_plate_and_put_the_yellow_and_white_mug_on_the_right_plate_demo",
+    "STUDY_SCENE1_pick_up_the_book_and_place_it_in_the_back_compartment_of_the_caddy_demo",
+    "LIVING_ROOM_SCENE6_put_the_white_mug_on_the_plate_and_put_the_chocolate_pudding_to_the_right_of_the_plate_demo",
+    "LIVING_ROOM_SCENE1_put_both_the_alphabet_soup_and_the_cream_cheese_box_in_the_basket_demo",
+    "KITCHEN_SCENE8_put_both_moka_pots_on_the_stove_demo",
+    "KITCHEN_SCENE6_put_the_yellow_and_white_mug_in_the_microwave_and_close_it_demo",
+)
+
+
 def make_libero_runners(
     dataset_dir: Optional[str] = None,
     output_dir: Optional[str] = None,
+    env_backend: str = "libero",
     **kwargs,
 ) -> List[LiberoImageRunner]:
     files = sorted(glob.glob(os.path.join(dataset_dir or "", "*.hdf5")))
+    if not files and env_backend == "stub":
+        files = [name + ".hdf5" for name in LIBERO10_TASK_NAMES]
     return [
-        LiberoImageRunner(path, output_dir=output_dir, **kwargs) for path in files
+        LiberoImageRunner(path, output_dir=output_dir, env_backend=env_backend,
+                          **kwargs)
+        for path in files
     ]

@@ -13,6 +13,7 @@ rollout logic is here and exercised through the shared loop with PushT.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -94,6 +95,7 @@ class RobomimicImageRunner(BaseImageRunner):
         n_action_steps: int = 8,
         abs_action: bool = True,
         n_envs: Optional[int] = None,
+        env_backend: str = "robosuite",
         **kwargs,
     ):
         super().__init__(output_dir)
@@ -107,6 +109,9 @@ class RobomimicImageRunner(BaseImageRunner):
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
         self.abs_action = abs_action
+        if env_backend not in ("robosuite", "stub"):
+            raise ValueError(f"unknown env_backend {env_backend!r}")
+        self.env_backend = env_backend
         self.rot_tf = RotationTransformer("axis_angle", "rotation_6d")
 
     def undo_transform_action(self, action: np.ndarray) -> np.ndarray:
@@ -114,50 +119,61 @@ class RobomimicImageRunner(BaseImageRunner):
         (reference :368-385); dual-arm 20 -> 14."""
         if not self.abs_action:
             return action
-        d = action.shape[-1]
-        is_dual = d == 20
-        a = action.reshape(*action.shape[:-1], 2, 10) if is_dual else action[..., None, :]
-        pos, rot6, grip = a[..., :3], a[..., 3:9], a[..., 9:]
-        rot = self.rot_tf.inverse(rot6)
-        out = np.concatenate([pos, rot, grip], axis=-1)
-        return out.reshape(*action.shape[:-1], -1)
+        from unified_video_action_tpu.runners.base import undo_transform_action
 
-    def _make_envs(self):
+        return undo_transform_action(action, self.rot_tf)
+
+    def _raw_env_factory(self):
+        """Return make_raw() -> a robosuite-API env for the selected backend."""
+        if self.env_backend == "stub":
+            from unified_video_action_tpu.envs.stub import StubRobosuiteEnv
+
+            return lambda seed=0: StubRobosuiteEnv(self.shape_meta, seed=seed)
         _require_robosuite()
-        import h5py
         import robomimic.utils.env_utils as EnvUtils
         import robomimic.utils.file_utils as FileUtils
 
         env_meta = FileUtils.get_env_metadata_from_dataset(self.dataset_path)
         if self.abs_action:
             env_meta["env_kwargs"]["controller_configs"]["control_delta"] = False
+        # robosuite seeding happens via the wrapper's np.random.seed on reset
+        return lambda seed=0: EnvUtils.create_env_from_metadata(
+            env_meta=env_meta, render=False,
+            render_offscreen=True, use_image_obs=True,
+        )
 
+    def _train_init_states(self):
+        """First demo state per train episode; zeros for the stub backend when
+        no dataset hdf5 is staged."""
+        if self.dataset_path and os.path.exists(self.dataset_path):
+            import h5py
+
+            states = []
+            with h5py.File(self.dataset_path, "r") as f:
+                for i in range(self.n_train):
+                    demo = f[f"data/demo_{self.train_start_idx + i}"]
+                    states.append(np.asarray(demo["states"][0]))
+            return states
+        if self.env_backend == "stub":
+            return [np.zeros(1, np.float32) for _ in range(self.n_train)]
+        raise FileNotFoundError(self.dataset_path)
+
+    def _make_envs(self):
+        make_raw = self._raw_env_factory()
         fns = []
-        with h5py.File(self.dataset_path, "r") as f:
-            for i in range(self.n_train):
-                demo = f[f"data/demo_{self.train_start_idx + i}"]
-                init_state = demo["states"][0]
+        for i, init_state in enumerate(self._train_init_states()):
+            def make(i=i, init_state=init_state):
+                w = RobomimicImageWrapper(make_raw(i), self.shape_meta, init_state)
+                return MultiStepWrapper(
+                    w, self.n_obs_steps, self.n_action_steps, self.max_steps
+                )
 
-                def make(init_state=init_state):
-                    env = EnvUtils.create_env_from_metadata(
-                        env_meta=env_meta, render=False,
-                        render_offscreen=True, use_image_obs=True,
-                    )
-                    w = RobomimicImageWrapper(env, self.shape_meta, init_state)
-                    return MultiStepWrapper(
-                        w, self.n_obs_steps, self.n_action_steps, self.max_steps
-                    )
-
-                fns.append(("train/", self.train_start_idx + i, make))
+            fns.append(("train/", self.train_start_idx + i, make))
         for i in range(self.n_test):
             seed = self.test_start_seed + i
 
             def make(seed=seed):
-                env = EnvUtils.create_env_from_metadata(
-                    env_meta=env_meta, render=False,
-                    render_offscreen=True, use_image_obs=True,
-                )
-                w = RobomimicImageWrapper(env, self.shape_meta, seed=seed)
+                w = RobomimicImageWrapper(make_raw(seed), self.shape_meta, seed=seed)
                 return MultiStepWrapper(
                     w, self.n_obs_steps, self.n_action_steps, self.max_steps
                 )
