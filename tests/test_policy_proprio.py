@@ -120,3 +120,70 @@ def test_umi_predict_action_with_proprio():
     )
     assert result["action"].shape == (B, 8, 10)
     assert np.isfinite(result["action_pred"]).all()
+
+
+def test_umi_stage2_different_history_freq_trains():
+    """umi stage-2 recipe: shift_action=False + per-sample random history
+    sampling (dataset random_img_sampling -> img_indices) + policy
+    different_history_freq. The proprio stream is gathered per sample at the
+    4 history-image times (reference data_utils.py:326-350) and the traced
+    frame-index design compiles ONE program per task mode regardless of which
+    history combination each batch draws."""
+    from unified_video_action_tpu.data.loader import DataLoader
+    from unified_video_action_tpu.data.umi_dataset import (
+        UmiLazyDataset, make_synthetic_umi,
+    )
+    from unified_video_action_tpu.training.ema import EmaConfig
+    from unified_video_action_tpu.training.optim import make_optimizer
+    from unified_video_action_tpu.training.train_state import (
+        create_train_state, make_train_step,
+    )
+    from unified_video_action_tpu.utils import frames as frame_util
+
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [10]}},
+        vae_model_params=TINY_VAE,
+        autoregressive_model_params=TINY_AMP,
+        action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
+        task_name="umi",
+        use_proprioception=True,
+        different_history_freq=True,
+        normalizer_type="none",
+        shift_action=False,
+        compute_dtype="float32",
+    )
+    assert policy.mar_cfg.different_history_freq
+    params = policy.init_params(jax.random.PRNGKey(0))
+    ds = UmiLazyDataset(
+        make_synthetic_umi(2, 60, image_size=32), val_ratio=0.2,
+        random_img_sampling=True,
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+
+    tx = make_optimizer(total_steps=10, warmup_steps=1)
+    state = create_train_state(policy, params, tx)
+    train_step = make_train_step(policy, tx, EmaConfig())
+
+    rng = np.random.default_rng(0)
+    it = iter(loader)
+    for step in range(3):
+        batch = next(it)
+        batch = {"obs": batch["obs"], "action": batch["action"]}
+        batch = jax.tree.map(jax.numpy.asarray, batch)
+        T = batch["obs"]["image" if "image" in batch["obs"] else "camera0_rgb"].shape[1]
+        # pre-gathered umi frames -> identity indices; per-sample history
+        # lives in obs["img_indices"]
+        frame_indices = np.arange(T)
+        mode = ("policy_model", "full_dynamic_model")[step % 2]
+        state, metrics = train_step(
+            state, batch, jax.random.PRNGKey(step), mode, frame_indices
+        )
+        assert np.isfinite(float(jax.device_get(metrics["train_loss"]))), step
+
+    # per-sample random history must actually vary between items
+    a = ds[0]["obs"]["img_indices"]
+    b = ds[1]["obs"]["img_indices"]
+    assert a.shape[0] == 8
+    assert not np.array_equal(a, b) or not np.array_equal(
+        ds[2]["obs"]["img_indices"], a
+    )

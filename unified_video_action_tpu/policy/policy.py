@@ -521,12 +521,18 @@ class UnifiedVideoActionPolicy:
             f = self.normalizer["action"]
             actions = actions * jnp.asarray(f.scale) + jnp.asarray(f.offset)
 
+        # umi lazy datasets gather their (possibly per-sample random-history)
+        # 8 frames host-side and ship img_indices instead (reference
+        # data_utils.py:214-219); everything else frame-selects here
+        pregathered = "img_indices" in obs
         if frame_indices is None:
-            frame_indices = frame_util.select_frame_indices(T, eval=False)
+            frame_indices = (
+                np.arange(T) if pregathered
+                else frame_util.select_frame_indices(T, eval=False)
+            )
         # select the 8 training frames BEFORE the 256x256 resize (4x less work)
-        frames = image_util.resize_video(
-            image[:, jnp.asarray(frame_indices)], c.img_size
-        )
+        sel = image if pregathered else image[:, jnp.asarray(frame_indices)]
+        frames = image_util.resize_video(sel, c.img_size)
         frames = image_util.to_model_range(frames)
 
         k_vae1, k_vae2, k_fwd = jax.random.split(key, 3)
@@ -585,9 +591,19 @@ class UnifiedVideoActionPolicy:
                 "robot0_gripper_width",
                 "robot0_eef_rot_axis_angle_wrt_start",
             ]
-            proprio["state"] = jnp.concatenate(
+            state = jnp.concatenate(
                 [jnp.asarray(obs[k]) for k in keys], axis=-1
             )
+            if c.different_history_freq and "img_indices" in obs:
+                # per-SAMPLE gather at the 4 random history-image times
+                # (reference data_utils.py:326-350: batched advanced indexing
+                # over indices[:, :length], length = 8//2); the encoder's
+                # repeat factor then becomes L/4 = 4*64
+                # (buffer_size_properception = 64*4, mar_con_unified.py:131)
+                idx = jnp.asarray(obs["img_indices"]).astype(jnp.int32)
+                idx = idx.reshape(idx.shape[0], -1)[:, : idx.shape[1] // 2]
+                state = jnp.take_along_axis(state, idx[..., None], axis=1)
+            proprio["state"] = state
         elif "pusht" in self.task_name:
             ap = jnp.asarray(obs["agent_pos"])
             proprio["state"] = ap[:, : ap.shape[1] // 2]
@@ -599,7 +615,13 @@ class UnifiedVideoActionPolicy:
                 [jnp.asarray(obs[k]) for k in state_keys], axis=-1
             )
             half = full.shape[1] // 2
-            proprio["state"] = full[:, :half]
+            state = full[:, :half]
+            if c.different_history_freq:
+                # batch-level gather at the history image times (reference
+                # data_utils.py:257-270)
+                idx = jnp.asarray(frame_indices, dtype=jnp.int32)
+                state = state[:, idx[: idx.shape[0] // 2]]
+            proprio["state"] = state
             if c.predict_proprioception:
                 proprio_target = full[:, half:]
 

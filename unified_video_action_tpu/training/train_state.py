@@ -65,13 +65,13 @@ def make_train_step(
 
     cache: Dict[Tuple, Callable] = {}
 
-    def build(task_mode: str, frame_indices: Tuple[int, ...]):
-        def step_fn(state: TrainState, batch, key):
+    def build(task_mode: str, n_indices: int):
+        def step_fn(state: TrainState, batch, key, frame_indices):
             def loss_fn(mar_params):
                 params = {"mar": mar_params, "vae": state.vae_params}
                 loss, (vl, al) = policy.compute_loss(
                     params, batch, key, task_mode,
-                    frame_indices=list(frame_indices),
+                    frame_indices=frame_indices,
                 )
                 return loss, (vl, al)
 
@@ -102,9 +102,13 @@ def make_train_step(
         return jax.jit(step_fn, **kwargs)
 
     def train_step(state, batch, key, task_mode, frame_indices):
-        k = (task_mode, tuple(int(i) for i in frame_indices))
+        # frame indices are a TRACED argument (one program per task mode, not
+        # one per index combination — different_history_freq draws a fresh
+        # random history set every batch, utils/data_utils.py:140-158)
+        idx = jnp.asarray(frame_indices, dtype=jnp.int32)
+        k = (task_mode, int(idx.shape[0]))
         if k not in cache:
             cache[k] = build(*k)
-        return cache[k](state, batch, key)
+        return cache[k](state, batch, key, idx)
 
     return train_step

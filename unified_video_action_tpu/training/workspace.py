@@ -193,9 +193,14 @@ class TrainWorkspace:
                 batch = mesh_lib.shard_batch(_to_jax_batch(batch), mesh)
                 task_mode = self.policy.choose_task_mode(self.np_rng)
                 T = batch["obs"]["image"].shape[1]
+                # umi stage-2 recipe: a fresh random history-frequency index
+                # set per batch (reference utils/data_utils.py:140-158); the
+                # indices are a traced train_step input, so this does NOT
+                # recompile per combination
                 frame_indices = frame_util.select_frame_indices(
                     T, eval=False,
-                    different_history_freq=False,
+                    different_history_freq=self.policy.different_history_freq,
+                    rng=self.np_rng,
                 )
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(
