@@ -71,3 +71,86 @@ def test_runner_with_latent_cache(tiny_policy):
     )
     log = runner.run(policy, params, jax.random.PRNGKey(0))
     assert "test/mean_score" in log and np.isfinite(log["test/mean_score"])
+
+
+def test_cached_equals_uncached_same_key(tiny_policy):
+    """With cache=None both paths encode the SAME 4 selected frames with the
+    same key-split structure, so the actions must be bit-identical."""
+    policy, params = tiny_policy
+    rng = np.random.RandomState(5)
+    obs = {"image": rng.rand(2, 16, 3, 32, 32).astype(np.float32)}
+    key = jax.random.PRNGKey(9)
+    ref = policy.predict_action(params, obs, key)
+    cached, _ = policy.predict_action_cached(params, obs, key, cache=None)
+    np.testing.assert_array_equal(ref["action_pred"], cached["action_pred"])
+
+
+@pytest.fixture(scope="module")
+def toolhang_policy():
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [10]}},
+        vae_model_params={
+            "autoencoder_path": None,
+            "ddconfig": {"vae_embed_dim": 8, "ch_mult": [1, 1, 2, 2], "ch": 32},
+        },
+        autoregressive_model_params={
+            "model_size": "custom",
+            "encoder_embed_dim": 64, "encoder_depth": 1, "encoder_num_heads": 4,
+            "decoder_embed_dim": 64, "decoder_depth": 1, "decoder_num_heads": 4,
+            "img_size": 32, "vae_stride": 8, "vae_embed_dim": 8,
+            "diffloss_d": 1, "diffloss_w": 32,
+            "diffloss_act_d": 1, "diffloss_act_w": 32,
+            "num_sampling_steps": "2", "act_diff_testing_steps": "2",
+            "attn_dropout": 0.0, "proj_dropout": 0.0,
+            "pretrained_model_path": None,
+        },
+        action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
+        task_name="toolhang",
+        use_proprioception=True,
+        normalizer_type="none",
+        compute_dtype="float32",
+    )
+    params = policy.init_params(jax.random.PRNGKey(0))
+    return policy, params
+
+
+def _toolhang_obs(rng, B=2, T=16):
+    return {
+        "sideview_image": rng.rand(B, T, 3, 32, 32).astype(np.float32),
+        "robot0_eye_in_hand_image": rng.rand(B, T, 3, 32, 32).astype(np.float32),
+        "robot0_eef_pos": rng.randn(B, T, 3).astype(np.float32),
+        "robot0_eef_quat": rng.randn(B, T, 4).astype(np.float32),
+        "robot0_gripper_qpos": rng.randn(B, T, 2).astype(np.float32),
+    }
+
+
+def test_toolhang_predict_action_with_wrist(toolhang_policy):
+    """Eval-side wrist-camera conditioning: the wrist frames are frame-
+    selected and VAE-encoded inside the predict fn (this used to KeyError)."""
+    policy, params = toolhang_policy
+    rng = np.random.RandomState(1)
+    result = policy.predict_action(
+        params, _toolhang_obs(rng), jax.random.PRNGKey(2)
+    )
+    assert result["action"].shape == (2, 8, 10)
+    assert np.isfinite(result["action_pred"]).all()
+
+
+def test_toolhang_cached_full_modalities(toolhang_policy):
+    """The latent-cache path carries proprio + wrist like the uncached one:
+    identical actions at cache miss, working reuse at the second call."""
+    policy, params = toolhang_policy
+    rng = np.random.RandomState(2)
+    obs = _toolhang_obs(rng)
+    key = jax.random.PRNGKey(3)
+    ref = policy.predict_action(params, obs, key)
+    cached, cache = policy.predict_action_cached(params, obs, key, cache=None)
+    np.testing.assert_array_equal(ref["action_pred"], cached["action_pred"])
+
+    obs2 = _toolhang_obs(rng)
+    result2, cache2 = policy.predict_action_cached(
+        params, obs2, jax.random.PRNGKey(4), cache=cache, n_shift=8
+    )
+    assert result2["action"].shape == (2, 8, 10)
+    assert np.isfinite(result2["action_pred"]).all()
+    np.testing.assert_allclose(cache2[:, :2], cache[:, 2:], atol=1e-6)

@@ -296,25 +296,34 @@ class UnifiedVideoActionPolicy:
     # inference
     # ------------------------------------------------------------------
 
-    def _build_predict_fn(self):
+    def _predict_helpers(self):
         c = self.mar_cfg
         act_field = self.normalizer["action"] if self.normalizer_type == "all" else None
         scale = None if act_field is None else jnp.asarray(act_field.scale)
         offset = None if act_field is None else jnp.asarray(act_field.offset)
         temperature = float(_cfg_get(self.amp, "temperature", 1.0))
 
-        def fn(params, frames, key, text_latents=None, proprio=None,
-               history_actions=None):
-            # frames: (B, n_cond, 3, H, W) — already host-selected; uint8 or
-            # [0,1] float (uint8 transfers 4x less over the host->device link)
+        def _prep_frames(frames):
             if frames.dtype == jnp.uint8:
                 frames = frames.astype(jnp.float32) / 255.0
             frames = image_util.resize_video(frames, c.img_size)
-            frames = image_util.to_model_range(frames)
-            k_vae, k_samp = jax.random.split(key)
-            cond = self._encode_frames(params["vae"], frames, k_vae)
+            return image_util.to_model_range(frames)
+
+        def _prep_modalities(params, proprio, history_actions, k_wrist):
+            """Shared eval-side modality prep: wrist-camera VAE encode
+            (reference predict_action second_image_z, policy:279-285) and
+            history-action normalization."""
+            if proprio is not None and "second_image_raw" in proprio:
+                proprio = dict(proprio)
+                wf = _prep_frames(proprio.pop("second_image_raw"))
+                proprio["second_image"] = self._encode_frames(
+                    params["vae"], wf, k_wrist
+                )
             if history_actions is not None and scale is not None:
                 history_actions = history_actions * scale + offset
+            return proprio, history_actions
+
+        def _sample(params, cond, k_samp, text_latents, proprio, history_actions):
             nact = self.mar.apply(
                 {"params": params["mar"]},
                 cond,
@@ -330,6 +339,23 @@ class UnifiedVideoActionPolicy:
                 nact = (nact - offset) / scale
             return nact
 
+        return _prep_frames, _prep_modalities, _sample
+
+    def _build_predict_fn(self):
+        _prep_frames, _prep_modalities, _sample = self._predict_helpers()
+
+        def fn(params, frames, key, text_latents=None, proprio=None,
+               history_actions=None):
+            # frames: (B, n_cond, 3, H, W) — already host-selected; uint8 or
+            # [0,1] float (uint8 transfers 4x less over the host->device link)
+            k_vae, k_wrist, k_samp = jax.random.split(key, 3)
+            cond = self._encode_frames(params["vae"], _prep_frames(frames), k_vae)
+            proprio, history_actions = _prep_modalities(
+                params, proprio, history_actions, k_wrist
+            )
+            return _sample(params, cond, k_samp, text_latents, proprio,
+                           history_actions)
+
         return jax.jit(fn)
 
     def _build_predict_cached_fn(self, n_new: int):
@@ -337,31 +363,25 @@ class UnifiedVideoActionPolicy:
         frames already encoded at the previous control step (the obs window
         slides by n_action_steps, so with the stride-4 selection 2 of the 4
         cond frames repeat). ``n_new`` frames are encoded; the rest come from
-        the cache. Returns (normalized-action, full latents for re-caching)."""
-        c = self.mar_cfg
-        act_field = self.normalizer["action"] if self.normalizer_type == "all" else None
-        scale = None if act_field is None else jnp.asarray(act_field.scale)
-        offset = None if act_field is None else jnp.asarray(act_field.offset)
-        temperature = float(_cfg_get(self.amp, "temperature", 1.0))
+        the cache. Supports the full modality surface (text / proprio incl.
+        wrist camera / history actions) like the uncached path. Returns
+        (normalized-action, full latents for re-caching)."""
+        _prep_frames, _prep_modalities, _sample = self._predict_helpers()
 
-        def fn(params, new_frames, cached_latents, key):
+        def fn(params, new_frames, cached_latents, key, text_latents=None,
+               proprio=None, history_actions=None):
             # new_frames: (B, n_new, 3, H, W) uint8 or [0,1] float;
             # cached: (B, 4-n_new, C, h, w)
-            if new_frames.dtype == jnp.uint8:
-                new_frames = new_frames.astype(jnp.float32) / 255.0
-            frames = image_util.resize_video(new_frames, c.img_size)
-            frames = image_util.to_model_range(frames)
-            k_vae, k_samp = jax.random.split(key)
-            new_lat = self._encode_frames(params["vae"], frames, k_vae)
-            cond = jnp.concatenate([cached_latents, new_lat], axis=1)
-            nact = self.mar.apply(
-                {"params": params["mar"]},
-                cond, k_samp, temperature=temperature,
-                method=Mar.sample_policy,
+            k_vae, k_wrist, k_samp = jax.random.split(key, 3)
+            new_lat = self._encode_frames(
+                params["vae"], _prep_frames(new_frames), k_vae
             )
-            nact = nact[..., : self.action_dim]
-            if scale is not None:
-                nact = (nact - offset) / scale
+            cond = jnp.concatenate([cached_latents, new_lat], axis=1)
+            proprio, history_actions = _prep_modalities(
+                params, proprio, history_actions, k_wrist
+            )
+            nact = _sample(params, cond, k_samp, text_latents, proprio,
+                           history_actions)
             return nact, cond
 
         return jax.jit(fn)
@@ -373,45 +393,56 @@ class UnifiedVideoActionPolicy:
         key: Array,
         cache: Optional[np.ndarray] = None,
         n_shift: int = 8,
+        language_goal: Optional[Any] = None,
     ):
         """Rollout-serving fast path with latent reuse. Returns
         (result dict, new cache). ``cache`` carries the previous call's cond
-        latents (B, 4, C, h, w); ``n_shift`` = env steps between calls."""
+        latents (B, 4, C, h, w); ``n_shift`` = env steps between calls.
+        Supports the same modality surface as predict_action (text/proprio/
+        wrist/history), so umi/libero/toolhang serving can use it too."""
         obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
         image_np = np.asarray(obs_dict["image"])
         if image_np.dtype != np.uint8 and image_np.max() <= 1.0 + 1e-6:
             image_np = np.round(image_np * 255.0).astype(np.uint8)
         T_obs = image_np.shape[1]
         idx = list(frame_util.select_frame_indices(T_obs, eval=True))
+
+        text_latents = None
+        if self.language_emb_model is not None:
+            if "umi" in self.task_name:
+                text_latents = jnp.asarray(language_goal)
+            elif language_goal is not None:
+                text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
+        history_actions = None
+        if self.use_history_action and "past_action" in obs_dict:
+            history_actions = jnp.asarray(obs_dict["past_action"])
+        proprio = self._build_proprio_eval(obs_dict, np.asarray(idx))
+        modalities = dict(
+            text_latents=text_latents, proprio=proprio,
+            history_actions=history_actions,
+        )
+
         # positions whose frame was selected last call (shifted by n_shift)
         reuse_from = [idx.index(p + n_shift) for p in idx if (p + n_shift) in idx]
         n_reuse = len(reuse_from)
         if cache is None or n_reuse == 0:
-            if "full_cached" not in self._predict_cache:
-                self._predict_cache["full_cached"] = self._build_predict_cached_fn(
-                    len(idx)
-                )
-            nact, cond = self._predict_cache["full_cached"](
-                params, jnp.asarray(image_np[:, idx]),
-                jnp.zeros((image_np.shape[0], 0, *self._latent_shape()), jnp.float32),
-                key,
+            fn_key, new_positions, cached = (
+                "full_cached",
+                idx,
+                jnp.zeros(
+                    (image_np.shape[0], 0, *self._latent_shape()), jnp.float32
+                ),
             )
-            action_pred = np.asarray(jax.device_get(nact))
-            return (
-                {
-                    "action": action_pred[:, : self.n_action_steps],
-                    "action_pred": action_pred,
-                },
-                np.asarray(jax.device_get(cond)),
-            )
-        new_positions = idx[n_reuse:]
-        if "cached" not in self._predict_cache:
-            self._predict_cache["cached"] = self._build_predict_cached_fn(
+        else:
+            fn_key, new_positions = "cached", idx[n_reuse:]
+            cached = jnp.asarray(cache[:, reuse_from])
+        if fn_key not in self._predict_cache:
+            self._predict_cache[fn_key] = self._build_predict_cached_fn(
                 len(new_positions)
             )
-        cached = jnp.asarray(cache[:, reuse_from])
-        nact, cond = self._predict_cache["cached"](
-            params, jnp.asarray(image_np[:, new_positions]), cached, key
+        nact, cond = self._predict_cache[fn_key](
+            params, jnp.asarray(image_np[:, new_positions]), cached, key,
+            **modalities,
         )
         action_pred = np.asarray(jax.device_get(nact))
         return (
@@ -457,7 +488,7 @@ class UnifiedVideoActionPolicy:
         if self.use_history_action and "past_action" in obs_dict:
             history_actions = jnp.asarray(obs_dict["past_action"])
 
-        proprio = self._build_proprio_eval(obs_dict)
+        proprio = self._build_proprio_eval(obs_dict, idx)
 
         if "predict" not in self._predict_cache:
             self._predict_cache["predict"] = self._build_predict_fn()
@@ -472,7 +503,7 @@ class UnifiedVideoActionPolicy:
             "action_pred": action_pred,
         }
 
-    def _build_proprio_eval(self, obs_dict):
+    def _build_proprio_eval(self, obs_dict, frame_idx=None):
         if not self.use_proprioception:
             return None
         if "umi" in self.task_name:
@@ -490,7 +521,12 @@ class UnifiedVideoActionPolicy:
         state = np.concatenate([np.asarray(obs_dict[k]) for k in keys], axis=-1)
         out = {"state": jnp.asarray(state)}
         if "wrist_image" in obs_dict:
-            out["second_image_raw"] = jnp.asarray(obs_dict["wrist_image"])
+            wrist = np.asarray(obs_dict["wrist_image"])
+            if frame_idx is not None:  # host-side eval frame selection
+                wrist = wrist[:, frame_idx]
+            if wrist.dtype != np.uint8 and wrist.max() <= 1.0 + 1e-6:
+                wrist = np.round(wrist * 255.0).astype(np.uint8)
+            out["second_image_raw"] = jnp.asarray(wrist)
         return out
 
     # ------------------------------------------------------------------
