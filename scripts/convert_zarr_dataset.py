@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Convert a reference zarr replay buffer (e.g. pusht_cchi_v7_replay.zarr or a
-UMI episode store) into this framework's HDF5 replay format.
+"""Convert between replay-buffer formats (zarr v2 ↔ HDF5).
 
-Run on a machine that has zarr installed (this framework itself does not
-depend on zarr); the output loads with
-``unified_video_action_tpu.data.replay_buffer.ReplayBuffer.load``.
+Reference zarr stores (e.g. pusht_cchi_v7_replay.zarr, UMI episode stores,
+robomimic/libero *.zarr.zip caches with Jpeg2k chunks) load DIRECTLY via the
+built-in zarr reader (``data/zarrlite.py``) — no conversion step is required
+anymore. This script remains for producing the compact HDF5 format (or a zarr
+copy of an HDF5 buffer) when staging to local SSD.
 
 Usage:
     python scripts/convert_zarr_dataset.py in.zarr out.h5 [--keys img state action]
+    python scripts/convert_zarr_dataset.py in.h5 out.zarr
 """
 
 import argparse
@@ -21,23 +23,14 @@ def main(argv=None):
     parser.add_argument("--keys", nargs="*", default=None)
     args = parser.parse_args(argv)
 
-    try:
-        import zarr
-    except ImportError:
-        sys.exit("zarr is required for conversion; run on a machine that has it")
-
-    import numpy as np
-
     sys.path.insert(0, ".")
     from unified_video_action_tpu.data.replay_buffer import ReplayBuffer
 
-    root = zarr.open(args.src, mode="r")
-    data_group = root["data"]
-    keys = args.keys or list(data_group.keys())
-    data = {k: np.asarray(data_group[k][:]) for k in keys}
-    episode_ends = np.asarray(root["meta"]["episode_ends"][:])
-    buf = ReplayBuffer(data, episode_ends)
-    buf.save(args.dst)
+    buf = ReplayBuffer.copy_from_path(args.src, keys=args.keys)
+    if args.dst.endswith((".zarr", ".zip")):
+        buf.save_zarr(args.dst)
+    else:
+        buf.save(args.dst)
     print(
         f"wrote {args.dst}: {buf.n_episodes} episodes, {buf.n_steps} steps, "
         f"keys={list(buf.keys())}"

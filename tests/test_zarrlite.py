@@ -1,0 +1,238 @@
+"""From-scratch zarr v2 reader/writer (data/zarrlite.py).
+
+The reference keeps every dataset in zarr v2: UMI episode stores are lazy
+directory trees (reference dataset/umi_lazy_dataset.py:298-300) and the
+robomimic/libero image caches are ZipStores with Jpeg2k(level=50) image
+chunks (reference dataset/robomimic_replay_image_dataset.py:80-87,367). These
+tests exercise the same storage shapes end-to-end through the REAL system
+codec libraries (libblosc, OpenJPEG via PIL) — including a hand-written store
+whose metadata bytes follow the zarr v2 spec verbatim, so reader compliance
+is checked against the format, not just our own writer.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unified_video_action_tpu.data import zarrlite
+from unified_video_action_tpu.data.replay_buffer import ReplayBuffer
+
+
+def test_blosc_roundtrip_all_cnames():
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 255, 4096).astype(np.uint8).tobytes()
+    for cname in ("lz4", "lz4hc", "zlib", "zstd", "blosclz"):
+        comp = zarrlite._Blosc.compress(data, typesize=1, cname=cname, clevel=5)
+        assert zarrlite._Blosc.decompress(comp) == data
+
+
+def test_zstd_roundtrip():
+    data = b"hello zstd " * 1000
+    comp = zarrlite._Zstd.compress(data, level=3)
+    assert len(comp) < len(data)
+    assert zarrlite._Zstd.decompress(comp) == data
+
+
+def test_handwritten_spec_store_reads():
+    """A store written as literal zarr v2 spec bytes (no writer involved)."""
+    store = zarrlite.MemoryStore()
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    arr = np.arange(24, dtype=np.float32).reshape(6, 4)
+    meta = {
+        "zarr_format": 2,
+        "shape": [6, 4],
+        "chunks": [4, 4],  # edge chunk padded per spec
+        "dtype": "<f4",
+        "compressor": {"id": "zlib", "level": 1},
+        "fill_value": 0,
+        "filters": None,
+        "order": "C",
+    }
+    store.set("x/.zarray", json.dumps(meta).encode())
+    import zlib as _zlib
+
+    c0 = arr[:4]
+    c1 = np.zeros((4, 4), np.float32)
+    c1[:2] = arr[4:]
+    store.set("x/0.0", _zlib.compress(c0.tobytes()))
+    store.set("x/1.0", _zlib.compress(c1.tobytes()))
+
+    g = zarrlite.open_group(store)
+    x = g["x"]
+    assert x.shape == (6, 4) and x.dtype == np.float32
+    np.testing.assert_array_equal(x[:], arr)
+    np.testing.assert_array_equal(x[3:6, 1:3], arr[3:6, 1:3])
+    np.testing.assert_array_equal(x[5], arr[5])
+    np.testing.assert_array_equal(x[[0, 5, 2]], arr[[0, 5, 2]])
+
+
+def test_missing_chunk_uses_fill_value():
+    store = zarrlite.MemoryStore()
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<i8",
+        "compressor": None, "fill_value": 7, "filters": None, "order": "C",
+    }
+    store.set("y/.zarray", json.dumps(meta).encode())
+    store.set("y/0", np.array([1, 2], np.int64).tobytes())
+    arr = zarrlite.ZarrArray(store, "y")
+    np.testing.assert_array_equal(arr[:], [1, 2, 7, 7])
+
+
+def test_directory_store_roundtrip_default_blosc(tmp_path):
+    path = str(tmp_path / "store.zarr")
+    root = zarrlite.open_group(path, mode="a")
+    g = root.require_group("data")
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (10, 8, 8, 3)).astype(np.uint8)
+    pose = rng.randn(10, 7).astype(np.float64)
+    g.create_dataset("img", data=img, chunks=(3, 8, 8, 3))
+    g.create_dataset("pose", data=pose)
+    root.attrs["note"] = "hello"
+
+    r2 = zarrlite.open_group(path)
+    np.testing.assert_array_equal(r2["data"]["img"][:], img)
+    np.testing.assert_array_equal(r2["data"]["pose"][:], pose)
+    np.testing.assert_array_equal(r2["data"]["img"][4:9, 2:5], img[4:9, 2:5])
+    assert r2.attrs["note"] == "hello"
+    assert sorted(r2["data"].keys()) == ["img", "pose"]
+    # .zarray metadata is genuine zarr v2 with the stock default compressor
+    meta = json.loads(open(os.path.join(path, "data/pose/.zarray")).read())
+    assert meta["zarr_format"] == 2
+    assert meta["compressor"]["id"] == "blosc"
+    assert meta["compressor"]["cname"] == "lz4"
+
+
+def test_zip_store_jpeg2k_cache_layout(tmp_path):
+    """Reference cache shape: *.zarr.zip, image array Jpeg2k(level=50),
+    one frame per chunk (robomimic_replay_image_dataset.py:355-370)."""
+    path = str(tmp_path / "cache.zarr.zip")
+    rng = np.random.RandomState(2)
+    # smooth-ish content so lossy jp2k stays close
+    base = rng.randint(60, 196, (1, 32, 32, 3)).astype(np.uint8)
+    img = np.repeat(base, 6, axis=0)
+    img += np.arange(6, dtype=np.uint8)[:, None, None, None]
+
+    root = zarrlite.open_group(path, mode="w")
+    g = root.require_group("data")
+    g.create_dataset(
+        "camera0_rgb", data=img, chunks=(1, 32, 32, 3),
+        compressor={"id": "imagecodecs_jpeg2k", "level": 50},
+    )
+    root.require_group("meta").create_dataset(
+        "episode_ends", data=np.array([3, 6]), compressor=None
+    )
+    root.store.close()
+
+    r2 = zarrlite.open_group(path)
+    out = r2["data"]["camera0_rgb"][:]
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # level=50 dB ≈ visually lossless
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 2.0, err
+    np.testing.assert_array_equal(r2["meta"]["episode_ends"][:], [3, 6])
+
+
+def test_jpeg2k_lossless_roundtrip():
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+    enc = zarrlite._jpeg2k_encode(frame[None], level=None)  # reversible
+    dec = zarrlite._jpeg2k_decode(enc)
+    np.testing.assert_array_equal(dec, frame)
+
+
+def test_replay_buffer_zarr_roundtrip_and_lazy(tmp_path):
+    rng = np.random.RandomState(4)
+    buf = ReplayBuffer(
+        data={
+            "img": rng.randint(0, 255, (12, 8, 8, 3)).astype(np.uint8),
+            "action": rng.randn(12, 2).astype(np.float32),
+        },
+        episode_ends=np.array([5, 12]),
+    )
+    zpath = str(tmp_path / "rb.zarr")
+    buf.save_zarr(zpath)
+
+    loaded = ReplayBuffer.copy_from_path(zpath)
+    np.testing.assert_array_equal(loaded["img"], buf["img"])
+    np.testing.assert_array_equal(loaded["action"], buf["action"])
+    np.testing.assert_array_equal(loaded.episode_ends, buf.episode_ends)
+
+    lazy = ReplayBuffer.copy_from_path(zpath, lazy=True)
+    assert isinstance(lazy["img"], zarrlite.ZarrArray)
+    np.testing.assert_array_equal(lazy["img"][2:7], buf["img"][2:7])
+    ep = lazy.get_episode(1)
+    np.testing.assert_array_equal(ep["action"], buf["action"][5:12])
+
+
+def test_replay_buffer_zip_with_jpeg2k(tmp_path):
+    rng = np.random.RandomState(5)
+    base = rng.randint(40, 216, (1, 24, 24, 3)).astype(np.uint8)
+    buf = ReplayBuffer(
+        data={"img": np.repeat(base, 4, 0), "state": rng.randn(4, 3).astype(np.float32)},
+        episode_ends=np.array([4]),
+    )
+    zpath = str(tmp_path / "cache.zarr.zip")
+    buf.save_zarr(zpath, compressors={"img": {"id": "imagecodecs_jpeg2k", "level": 50}})
+    loaded = ReplayBuffer.copy_from_path(zpath)
+    assert np.abs(loaded["img"].astype(int) - buf["img"].astype(int)).mean() < 2.0
+    np.testing.assert_array_equal(loaded["state"], buf["state"])
+
+
+def test_dimension_separator_slash():
+    store = zarrlite.MemoryStore()
+    meta = {
+        "zarr_format": 2, "shape": [4, 2], "chunks": [2, 2], "dtype": "|u1",
+        "compressor": None, "fill_value": 0, "filters": None, "order": "C",
+        "dimension_separator": "/",
+    }
+    store.set("a/.zarray", json.dumps(meta).encode())
+    arr_np = np.arange(8, dtype=np.uint8).reshape(4, 2)
+    store.set("a/0/0", arr_np[:2].tobytes())
+    store.set("a/1/0", arr_np[2:].tobytes())
+    arr = zarrlite.ZarrArray(store, "a")
+    np.testing.assert_array_equal(arr[:], arr_np)
+
+
+def test_unsupported_compressor_raises():
+    store = zarrlite.MemoryStore()
+    meta = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f4",
+        "compressor": {"id": "imagecodecs_jpegxl"}, "fill_value": 0,
+        "filters": None, "order": "C",
+    }
+    store.set("b/.zarray", json.dumps(meta).encode())
+    with pytest.raises(ValueError, match="unsupported zarr compressor"):
+        zarrlite.ZarrArray(store, "b")
+
+
+def test_umi_lazy_dataset_streams_from_zarr(tmp_path):
+    """End-to-end: a UMI zarr directory store drives UmiLazyDataset lazily
+    (the reference's scale-path semantics, umi_lazy_dataset.py:298-300)."""
+    from unified_video_action_tpu.data.umi_dataset import (
+        UmiLazyDataset,
+        build_umi_multi_from_config,
+        make_synthetic_umi,
+    )
+
+    buf = make_synthetic_umi(n_episodes=3, episode_len=60, seed=7, image_size=32)
+    zpath = str(tmp_path / "umi_cup.zarr")
+    buf.save_zarr(zpath)
+
+    multi = build_umi_multi_from_config(
+        {"cup": {"path": zpath, "mask_mirror": False, "prompt": "pick up the cup"}},
+        val_ratio=0.0,
+        seed=7,
+    )
+    ds_lazy = multi.datasets["cup"]
+    assert isinstance(
+        ds_lazy.replay_buffer["camera0_rgb"], zarrlite.ZarrArray
+    ), "zarr-backed UMI dataset must stay lazy"
+
+    ds_mem = UmiLazyDataset(buf, name="cup", val_ratio=0.0, seed=7)
+    a, b = ds_lazy[5], ds_mem[5]
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        if isinstance(a[k], np.ndarray):
+            np.testing.assert_allclose(a[k], b[k], err_msg=k)

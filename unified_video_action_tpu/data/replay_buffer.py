@@ -2,10 +2,16 @@
 
 Equivalent of the reference's zarr-backed ``ReplayBuffer``
 (common/replay_buffer.py:88-649): a time-major store of ``data/*`` arrays plus
-``meta/episode_ends``. zarr is not part of this framework's dependency set;
-storage is in-memory numpy with an HDF5 (h5py) on-disk format — chunked,
-optionally gzip-compressed, with the same ``data/`` + ``meta/episode_ends``
-layout so datasets convert 1:1.
+``meta/episode_ends``. Two on-disk formats are supported:
+
+- **zarr v2** (the reference's native format — directory stores and
+  ``*.zarr.zip`` caches, including ``imagecodecs_jpeg2k``-compressed image
+  arrays) via the from-scratch reader in :mod:`.zarrlite`; arrays can stay
+  **lazy** (per-chunk reads) for the UMI multi-dataset scale path.
+- **HDF5** (h5py) — this framework's compact converted format.
+
+``copy_from_path`` auto-detects the format, so reference datasets load
+directly without an offline conversion step.
 """
 
 from __future__ import annotations
@@ -105,8 +111,70 @@ class ReplayBuffer:
             m = f.create_group("meta")
             m.create_dataset("episode_ends", data=self.episode_ends)
 
+    def save_zarr(self, path: str, compressors: Optional[Dict[str, object]] = None):
+        """Write a reference-layout zarr v2 store (directory or ``.zip``).
+
+        ``compressors`` maps key → compressor config (e.g.
+        ``{"img": {"id": "imagecodecs_jpeg2k", "level": 50}}``); unlisted keys
+        use the blosc/lz4 default, matching the reference caches
+        (robomimic_replay_image_dataset.py:355-370).
+        """
+        from . import zarrlite
+
+        mode = "w" if str(path).endswith(".zip") else "a"
+        root = zarrlite.open_group(path, mode=mode)
+        g = root.require_group("data")
+        compressors = compressors or {}
+        for k, v in self.data.items():
+            v = np.asarray(v)
+            chunks = self._optimal_chunks(v)
+            if k in compressors:
+                # image codecs want one frame per chunk
+                chunks = (1,) + v.shape[1:]
+            g.create_dataset(
+                k, data=v, chunks=chunks,
+                compressor=compressors.get(k, "default"),
+            )
+        m = root.require_group("meta")
+        m.create_dataset("episode_ends", data=self.episode_ends, compressor=None)
+        root.store.close()
+
+    @staticmethod
+    def _is_zarr(path: str) -> bool:
+        p = str(path)
+        if p.endswith(".zip") or p.endswith(".zarr"):
+            return True
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, ".zgroup"))
+            or os.path.exists(os.path.join(p, "data", ".zgroup"))
+        )
+
     @classmethod
-    def load(cls, path: str, keys: Optional[Iterable[str]] = None) -> "ReplayBuffer":
+    def load(
+        cls,
+        path: str,
+        keys: Optional[Iterable[str]] = None,
+        lazy: bool = False,
+    ) -> "ReplayBuffer":
+        """Load from zarr (reference format) or HDF5, auto-detected.
+
+        With ``lazy=True`` (zarr only) array values are kept as
+        :class:`zarrlite.ZarrArray` — chunked, LRU-cached, numpy-sliceable —
+        so huge UMI stores stream from disk per index (reference
+        umi_lazy_dataset.py:298-300 semantics).
+        """
+        if cls._is_zarr(path):
+            from . import zarrlite
+
+            root = zarrlite.open_group(path, mode="r")
+            data_group = root["data"]
+            names = list(keys) if keys is not None else list(data_group.keys())
+            if lazy:
+                data = {k: data_group[k] for k in names}
+            else:
+                data = {k: data_group[k][:] for k in names}
+            episode_ends = np.asarray(root["meta"]["episode_ends"][:])
+            return cls(data, episode_ends)
         assert h5py is not None, "h5py required for on-disk replay buffers"
         with h5py.File(path, "r") as f:
             names = list(keys) if keys is not None else list(f["data"].keys())

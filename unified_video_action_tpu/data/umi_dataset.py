@@ -289,7 +289,11 @@ def build_umi_multi_from_config(
     datasets: Dict[str, UmiLazyDataset] = {}
     prompts: Dict[str, str] = {}
     for name, spec in datasets_cfg.items():
-        buf = ReplayBuffer.load(spec["path"])
+        # zarr stores (the reference's native UMI format) stay lazy: chunks
+        # stream from disk per index instead of materializing the episode
+        # store in RAM (reference umi_lazy_dataset.py:298-300).
+        lazy = bool(spec.get("lazy", ReplayBuffer._is_zarr(spec["path"])))
+        buf = ReplayBuffer.load(spec["path"], lazy=lazy)
         datasets[name] = UmiLazyDataset(
             buf,
             name=name,
