@@ -1,16 +1,28 @@
 """Host-side batching with background prefetch.
 
-The reference relies on torch DataLoader worker processes (SURVEY.md L1);
-here a thread-pool prefetcher keeps the host ahead of the device — the
-device-side work (resize, normalize, VAE) lives inside the jitted step, so the
-loader only has to slice numpy arrays and stack."""
+The reference relies on torch DataLoader worker *processes* (14 for the UMI
+multi-dataset path, reference config/task/umi_lazy.yaml:126-132) because its
+per-item work — zarr chunk decode, pose math, augmentation — is CPU-heavy
+Python. This loader supports both worker models:
+
+- ``worker_mode="thread"``: a thread pool. Right when per-item work releases
+  the GIL (hdf5 reads, large numpy slices) or the dataset is in-memory.
+- ``worker_mode="process"``: forked worker processes with an index queue and
+  ordered result reassembly (the torch model). Right for the UMI scale path
+  where zarr decode + relative-pose math serialize on the GIL.
+
+Device-side work (resize, normalize, VAE) stays inside the jitted train step,
+so workers only produce numpy batches.
+"""
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
+import traceback
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 
@@ -19,6 +31,21 @@ def _collate(items):
     if isinstance(items[0], dict):
         return {k: _collate([it[k] for it in items]) for k in items[0]}
     return np.stack(items, axis=0)
+
+
+def _process_worker(dataset, index_q, result_q):
+    """Worker loop: batch indices in, (batch_id, collated batch) out."""
+    while True:
+        job = index_q.get()
+        if job is None:
+            return
+        batch_id, idxs = job
+        try:
+            batch = _collate([dataset[int(i)] for i in idxs])
+            result_q.put((batch_id, batch, None))
+        except BaseException:
+            result_q.put((batch_id, None, traceback.format_exc()))
+            return
 
 
 class DataLoader:
@@ -31,13 +58,16 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 4,
         prefetch: int = 2,
+        worker_mode: str = "thread",
     ):
+        assert worker_mode in ("thread", "process"), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
         self._epoch = 0
         self._seed = seed
 
@@ -47,20 +77,30 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def _batches(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng((self._seed, self._epoch))
             rng.shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            # refresh per-item augmentation rng (worker-count-independent)
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
-
-        n_batches = len(self)
-        batches = [
+        return [
             order[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(n_batches)
+            for i in range(len(self))
         ]
 
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.worker_mode == "process":
+            return self._iter_process()
+        return self._iter_thread()
+
+    # -- thread mode ---------------------------------------------------------
+
+    def _iter_thread(self):
+        batches = self._batches()
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -89,3 +129,50 @@ class DataLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False, cancel_futures=True)
+
+    # -- process mode --------------------------------------------------------
+
+    def _iter_process(self):
+        batches = self._batches()
+        ctx = mp.get_context("fork")  # zero-copy dataset inheritance
+        index_q = ctx.Queue()
+        result_q = ctx.Queue()
+        workers = [
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, index_q, result_q),
+                daemon=True,
+            )
+            for _ in range(min(self.num_workers, max(len(batches), 1)))
+        ]
+        for w in workers:
+            w.start()
+
+        # keep at most num_workers + prefetch jobs in flight, emit in order
+        next_submit = 0
+        next_emit = 0
+        in_flight = 0
+        pending: Dict[int, Any] = {}
+        max_in_flight = len(workers) + self.prefetch
+        try:
+            while next_emit < len(batches):
+                while next_submit < len(batches) and in_flight < max_in_flight:
+                    index_q.put((next_submit, batches[next_submit]))
+                    next_submit += 1
+                    in_flight += 1
+                if next_emit in pending:
+                    yield pending.pop(next_emit)
+                    next_emit += 1
+                    continue
+                batch_id, batch, err = result_q.get()
+                in_flight -= 1
+                if err is not None:
+                    raise RuntimeError(f"data worker failed:\n{err}")
+                pending[batch_id] = batch
+        finally:
+            for _ in workers:
+                index_q.put(None)
+            for w in workers:
+                w.join(timeout=2)
+                if w.is_alive():
+                    w.terminate()

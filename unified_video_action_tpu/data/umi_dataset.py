@@ -89,7 +89,11 @@ class UmiLazyDataset:
     starting_percentile_high: float = 1.0
 
     def __post_init__(self):
-        self.rng = np.random.default_rng(self.seed)
+        # Per-item randomness (history sampling, start-pose jitter) is drawn
+        # from a rng keyed on (seed, epoch, item index) — identical for any
+        # worker count or worker model, unlike the reference's per-worker
+        # torch seeds. ``set_epoch`` refreshes the jitter each epoch.
+        self.epoch = 0
         ends = self.replay_buffer.episode_ends
         starts = np.concatenate([[0], ends[:-1]])
         self.episode_starts = starts
@@ -128,14 +132,18 @@ class UmiLazyDataset:
         arr = self.replay_buffer[key]
         return np.asarray([arr[i] for i in idx])
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx: int) -> Dict:
         ep, t = self.index_pool[idx]
         d = self.down_sample_steps
+        item_rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
 
         cam_rel = [i * d for i in CAMERA_INDICES]
         if self.random_img_sampling:
             hist = sorted(
-                self.rng.choice(np.arange(-15, 1), size=4, replace=False) * d
+                item_rng.choice(np.arange(-15, 1), size=4, replace=False) * d
             )
             cam_rel = list(hist) + cam_rel[4:]
         img_indices = (np.asarray(cam_rel, np.float64) / d + 15).astype(np.int32)
@@ -173,7 +181,7 @@ class UmiLazyDataset:
                 ],
                 dtype=np.float64,
             )
-            start_pose = start_pose + self.rng.normal(
+            start_pose = start_pose + item_rng.normal(
                 scale=self.start_pose_noise, size=start_pose.shape
             )
             rel_start = convert_pose_mat_rep(
@@ -218,6 +226,10 @@ class UmiMultiDataset:
 
     def __len__(self) -> int:
         return len(self.index_pool)
+
+    def set_epoch(self, epoch: int) -> None:
+        for ds in self.datasets.values():
+            ds.set_epoch(epoch)
 
     def __getitem__(self, idx: int) -> Dict:
         di, i = self.index_pool[idx]

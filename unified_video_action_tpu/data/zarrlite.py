@@ -421,16 +421,25 @@ class ZipStore(Store):
         )
         self._names = set(self._zf.namelist()) if mode == "r" else set()
         self._lock = threading.Lock()
+        self._pid = os.getpid()
+
+    def _handle(self) -> zipfile.ZipFile:
+        # Fork safety: a child inherits the parent's file descriptor, and
+        # concurrent seek+read through a shared fd races across processes
+        # (the in-process lock can't help). Reopen per process.
+        if os.getpid() != self._pid:
+            self._zf = zipfile.ZipFile(self.path, mode="r")
+            self._pid = os.getpid()
+            self._lock = threading.Lock()
+        return self._zf
 
     def get(self, key):
-        if self.mode != "r":
-            if key not in self._names:
-                return None
-        elif key not in self._names:
+        if key not in self._names:
             return None
+        zf = self._handle()
         with self._lock:
             try:
-                return self._zf.read(key)
+                return zf.read(key)
             except KeyError:
                 return None
 
