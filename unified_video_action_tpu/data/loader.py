@@ -34,18 +34,33 @@ def _collate(items):
 
 
 def _process_worker(dataset, index_q, result_q):
-    """Worker loop: batch indices in, (batch_id, collated batch) out."""
-    while True:
-        job = index_q.get()
-        if job is None:
-            return
-        batch_id, idxs = job
-        try:
-            batch = _collate([dataset[int(i)] for i in idxs])
-            result_q.put((batch_id, batch, None))
-        except BaseException:
-            result_q.put((batch_id, None, traceback.format_exc()))
-            return
+    """Worker loop: batch indices in, (batch_id, collated batch) out.
+
+    Exits via ``os._exit`` to skip interpreter finalization: a forked child
+    inherits the parent's atexit hooks and open resources (JAX runtime,
+    pytest capture files, profilers) and running their teardown from the
+    child corrupts the parent's state.
+    """
+    import os as _os
+
+    rc = 0
+    try:
+        while True:
+            job = index_q.get()
+            if job is None:
+                break
+            batch_id, idxs = job
+            try:
+                batch = _collate([dataset[int(i)] for i in idxs])
+                result_q.put((batch_id, batch, None))
+            except BaseException:
+                result_q.put((batch_id, None, traceback.format_exc()))
+                rc = 1
+                break
+    finally:
+        result_q.close()
+        result_q.join_thread()  # flush queue buffers before hard exit
+        _os._exit(rc)
 
 
 class DataLoader:

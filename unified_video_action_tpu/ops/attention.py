@@ -34,7 +34,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
 
     q_ref: (block_q, d); k_ref/v_ref: (padded_seq, d); o_ref: (block_q, d).
     """
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Keep matmul INPUTS in the model dtype (bf16): the MXU runs bf16×bf16
+    # at 2× its fp32 rate; accumulation stays fp32 via preferred_element_type.
+    # (Casting q/k/v to fp32 before the dots — the round-1 version — halved
+    # MXU throughput, which is why pallas measured no better than XLA then.)
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
     block_q, d = q.shape
     padded_seq = k_ref.shape[1]
     num_kv = padded_seq // block_k
@@ -45,12 +49,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
+        )  # (block_q, block_k) fp32
         # mask padded kv positions
         kv_idx = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
@@ -62,7 +66,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = alpha * acc + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new

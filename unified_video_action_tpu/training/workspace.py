@@ -159,6 +159,14 @@ class TrainWorkspace:
             print(f"resumed from {latest_path} @ epoch {self.epoch}")
 
         logger = ckpt_lib.JsonLogger(os.path.join(self.output_dir, "logs.jsonl"))
+        from unified_video_action_tpu.training.trackers import build_tracker
+
+        cfg_dict_for_tracker = (
+            cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+        )
+        tracker = build_tracker(
+            cfg.get("logging"), self.output_dir, config=cfg_dict_for_tracker
+        )
         topk_cfg = cfg.get("checkpoint", {}).get("topk", {})
         topk = ckpt_lib.TopKCheckpointManager(
             save_dir=os.path.join(self.output_dir, "checkpoints"),
@@ -267,6 +275,10 @@ class TrainWorkspace:
                 step_log["test_mean_score"] = runner_log.get("test/mean_score", 0.0)
 
             logger.log(step_log, step=self.global_step)
+            tracker.log(step_log, step=self.global_step)
+            fvd_grid = os.path.join(self.output_dir, "media", "real_vs_pred.gif")
+            if "video_fvd" in step_log or "video_fvd_pixel" in step_log:
+                tracker.log_video("eval/video_grid", fvd_grid, step=self.global_step)
             last_metrics = step_log
 
             # checkpoints
@@ -290,6 +302,7 @@ class TrainWorkspace:
             self.epoch += 1
 
         logger.close()
+        tracker.finish()
         self.state = state
         return last_metrics
 
