@@ -73,22 +73,39 @@ class PolicyInferenceNode:
         self.infer(obs_dict)
         return time.time() - t0
 
-    def serve(self, bind: str = "tcp://0.0.0.0:8766") -> None:
+    def serve(
+        self,
+        bind: str = "tcp://0.0.0.0:8766",
+        max_requests: Optional[int] = None,
+    ) -> None:
+        """REQ/REP loop. ``max_requests`` bounds the loop (tests/drain);
+        production serving passes None and runs until killed, like the
+        reference node (eval_real.py:174-198)."""
         import zmq
 
         ctx = zmq.Context()
         socket = ctx.socket(zmq.REP)
         socket.bind(bind)
         print(f"policy server listening on {bind}")
-        while True:
-            msg = socket.recv()
-            try:
-                payload = pickle.loads(msg)
-                obs_dict = payload["obs"] if "obs" in payload else payload
-                task_name = payload.get("task_name") if isinstance(payload, dict) else None
-                t0 = time.time()
-                action = self.infer(obs_dict, task_name)
-                print(f"request served in {time.time() - t0:.4f}s")
-                socket.send(pickle.dumps(action))
-            except Exception:
-                socket.send(pickle.dumps(traceback.format_exc()))
+        served = 0
+        try:
+            while max_requests is None or served < max_requests:
+                msg = socket.recv()
+                try:
+                    payload = pickle.loads(msg)
+                    obs_dict = payload["obs"] if "obs" in payload else payload
+                    task_name = (
+                        payload.get("task_name")
+                        if isinstance(payload, dict)
+                        else None
+                    )
+                    t0 = time.time()
+                    action = self.infer(obs_dict, task_name)
+                    print(f"request served in {time.time() - t0:.4f}s")
+                    socket.send(pickle.dumps(action))
+                except Exception:
+                    socket.send(pickle.dumps(traceback.format_exc()))
+                served += 1
+        finally:
+            socket.close(linger=0)
+            ctx.term()
