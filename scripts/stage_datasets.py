@@ -39,11 +39,14 @@ def extract_one(path: str, out_dir: str) -> str:
             z.extractall(out_dir)
     elif path.endswith((".tar", ".tar.gz", ".tgz", ".tar.lz4")):
         if path.endswith(".tar.lz4"):
-            # stream-decompress through the lz4 CLI (reference convention)
-            p1 = subprocess.Popen(["lz4", "-d", "-c", path], stdout=subprocess.PIPE)
-            with tarfile.open(fileobj=p1.stdout, mode="r|") as t:
-                t.extractall(out_dir)
-            p1.wait()
+            # stream-decompress via the built-in liblz4 frame binding (the
+            # reference shells out to the lz4 CLI; same frame format)
+            sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            from unified_video_action_tpu.utils import lz4f
+
+            with lz4f.open_frame(path) as stream:
+                with tarfile.open(fileobj=stream, mode="r|") as t:
+                    t.extractall(out_dir)
         else:
             with tarfile.open(path) as t:
                 t.extractall(out_dir)

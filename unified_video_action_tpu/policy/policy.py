@@ -445,12 +445,15 @@ class UnifiedVideoActionPolicy:
             **modalities,
         )
         action_pred = np.asarray(jax.device_get(nact))
+        # cache stays DEVICE-resident: only the small action tensor crosses
+        # the host link; the (B, 4, C, h, w) latents round-trip would cost
+        # more than the VAE encode it saves (PERF.md transfer numbers).
         return (
             {
                 "action": action_pred[:, : self.n_action_steps],
                 "action_pred": action_pred,
             },
-            np.asarray(jax.device_get(cond)),
+            cond,
         )
 
     def _latent_shape(self):
