@@ -72,6 +72,10 @@ def main():
         task_name="pusht",
         compute_dtype="bfloat16",
         attn_impl=os.environ.get("UVA_ATTN_IMPL", "xla"),
+        # int8 W8A8 encoder/decoder exists (tests/test_quant.py) but measures
+        # NO faster through the current axon/libtpu stack (PERF.md: int8 raw
+        # matmul 75.5 TF/s vs bf16 78.0) — default off, opt in via env.
+        serving_quant=os.environ.get("UVA_SERVING_QUANT") or None,
         # chunk the VAE encode so the 256^2x128ch conv activations stay
         # within HBM at large serving batches (B=128 x 4 frames would peak
         # at 3x8 GB un-chunked)
@@ -107,28 +111,49 @@ def main():
         np.zeros((BATCH, 0, *policy._latent_shape()), np.float32)
     )
 
-    def step(i, cache):
-        nact, cond = cached_fn(
+    def dispatch(i, cache):
+        return cached_fn(
             params, fresh[i], cache[:, [2, 3]], jax.random.fold_in(key, i)
         )
+
+    def sync(nact):
         action = np.asarray(jax.device_get(nact))  # host sync, as in serving
         assert action.shape[:2] == (BATCH, 16)
-        return cond
 
+    # p50 at depth 1 (a single rollout stream: dispatch -> sync each step)
     _, cache = full_fn(params, first_frames, empty, key)
-    for i in range(WARMUP):
-        cache = step(i, cache)
-
     lat = []
-    t0 = time.perf_counter()
-    for i in range(ITERS):
+    for i in range(WARMUP + 3):
         s0 = time.perf_counter()
-        cache = step(WARMUP + i, cache)
-        lat.append(time.perf_counter() - s0)
+        nact, cache = dispatch(i, cache)
+        sync(nact)
+        if i >= WARMUP:
+            lat.append(time.perf_counter() - s0)
+    p50_ms = float(np.percentile(np.asarray(lat), 50) * 1e3)
+
+    # Throughput with TWO interleaved rollout streams (the reference's
+    # multi-env serving pattern: the chip computes stream A's step while the
+    # host syncs stream B's actions and readies its next obs — jax async
+    # dispatch makes this free; each stream is still strictly sequential).
+    caches = [cache, full_fn(params, first_frames, empty, key)[1]]
+    pending = [None, None]
+    for i in range(2):  # fill the pipeline
+        pending[i], caches[i] = dispatch(i, caches[i])
+    for i in range(2):  # one steady-state round before the timer
+        s = i % 2
+        sync(pending[s])
+        pending[s], caches[s] = dispatch(2 + i, caches[s])
+
+    n_done = 0
+    t0 = time.perf_counter()
+    for i in range(2 * ITERS):
+        s = i % 2
+        sync(pending[s])
+        n_done += 1
+        pending[s], caches[s] = dispatch((4 + i) % len(fresh), caches[s])
     dt = time.perf_counter() - t0
 
-    chunks_per_sec = BATCH * ITERS / dt
-    p50_ms = float(np.percentile(np.asarray(lat), 50) * 1e3)
+    chunks_per_sec = BATCH * n_done / dt
     print(
         json.dumps(
             {

@@ -6,7 +6,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import numpy as np
 from unified_video_action_tpu.utils.profiling import benchmark_fn
 
-B = 32
+B = int(os.environ.get("B", "32"))
 # ---- 1. flash attention micro: XLA vs pallas at MAR shapes ----
 from unified_video_action_tpu.ops.attention import flash_attention
 H, N, D = 12, 1088, 64

@@ -101,6 +101,7 @@ class MarConfig:
     # compute
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    quant: bool = False  # int8 W8A8 encoder/decoder dense layers (serving)
     grad_checkpointing: bool = False
 
     @property
@@ -265,6 +266,7 @@ class Mar(nn.Module):
             proj_dropout=c.proj_dropout,
             dtype=c.dtype,
             attn_impl=c.attn_impl,
+            quant=c.quant,
             remat=c.grad_checkpointing,
             name=name,
         )

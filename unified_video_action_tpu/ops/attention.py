@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,40 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
+
+
+def _attn_kernel_single_pass(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
+    """One q-block vs the WHOLE (VMEM-resident) KV, exact softmax in one pass.
+
+    At the MAR's sequence lengths the full K/V for one (batch, head) is a few
+    hundred KB — far under VMEM — so the online-softmax streaming schedule
+    (repeated max/exp rescaling + a fori_loop Mosaic can't software-pipeline
+    well) is pure overhead. Two big matmuls + one plain softmax instead.
+    q_ref: (1, block_q, d); k_ref/v_ref: (1, padded_seq, d).
+    """
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    block_q = q.shape[0]
+    padded_seq = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, padded_seq) fp32, lives in VMEM only
+    if padded_seq != seq_len:
+        kv_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, padded_seq), 1
+        )
+        s = jnp.where(kv_idx < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :] = (acc / l).astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
@@ -80,7 +115,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "single_pass")
 )
 def flash_attention(
     q: jax.Array,
@@ -89,14 +124,22 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    single_pass: Optional[bool] = None,
 ) -> jax.Array:
-    """q, k, v: (B, N, H, D) -> (B, N, H, D). Full (non-causal) attention."""
+    """q, k, v: (B, N, H, D) -> (B, N, H, D). Full (non-causal) attention.
+
+    ``single_pass`` selects the whole-KV-in-VMEM exact-softmax kernel; by
+    default it is used whenever the padded KV for one head fits comfortably
+    in VMEM (true for every MAR configuration — ctx ≤ 2048).
+    """
     B, N, H, D = q.shape
     scale = D ** -0.5
 
     block_q = min(block_q, _round_up(N, 128))
     block_k = min(block_k, _round_up(N, 128))
     padded = _round_up(N, max(block_q, block_k))
+    if single_pass is None:
+        single_pass = padded <= 2048
 
     def prep(x):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, N, D)
@@ -107,10 +150,16 @@ def flash_attention(
     qf, kf, vf = prep(q), prep(k), prep(v)
 
     grid = (B * H, padded // block_q)
-    out = pl.pallas_call(
-        functools.partial(
+    if single_pass:
+        kernel = functools.partial(
+            _attn_kernel_single_pass, scale=scale, seq_len=N
+        )
+    else:
+        kernel = functools.partial(
             _attn_kernel, scale=scale, block_k=block_k, seq_len=N
-        ),
+        )
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, padded, D), q.dtype),
         grid=grid,
         in_specs=[

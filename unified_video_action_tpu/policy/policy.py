@@ -65,6 +65,7 @@ class UnifiedVideoActionPolicy:
         attn_impl: str = "xla",
         optimizer: Optional[dict] = None,
         vae_encode_chunk: Optional[int] = None,
+        serving_quant: Optional[str] = None,
         **kwargs,
     ):
         self.task_name = task_name or "pusht"
@@ -144,6 +145,20 @@ class UnifiedVideoActionPolicy:
             **size_kwargs,
         )
         self.mar = Mar(self.mar_cfg)
+        # Serving-only int8 path: a second Mar over the SAME param tree with
+        # W8A8 dense layers (models/transformer.QuantDense). Training,
+        # compute_loss, and checkpoints are untouched; only the sampling
+        # graphs built by _predict_helpers use it. Opt-in because it trades
+        # exactness for the v5e MXU's 2x int8 rate (parity bounded by
+        # tests/test_quant.py).
+        if serving_quant not in (None, "", "none", "int8"):
+            raise ValueError(f"serving_quant must be None or 'int8', got {serving_quant!r}")
+        self.serving_quant = serving_quant if serving_quant == "int8" else None
+        self.mar_serving = (
+            Mar(dataclasses.replace(self.mar_cfg, quant=True))
+            if self.serving_quant
+            else self.mar
+        )
 
         ddconfig = _cfg_get(vae_model_params, "ddconfig", {})
         self.vae = KLVae(
@@ -324,7 +339,7 @@ class UnifiedVideoActionPolicy:
             return proprio, history_actions
 
         def _sample(params, cond, k_samp, text_latents, proprio, history_actions):
-            nact = self.mar.apply(
+            nact = self.mar_serving.apply(
                 {"params": params["mar"]},
                 cond,
                 k_samp,
