@@ -22,9 +22,13 @@ def reference_available(*modules: str) -> bool:
 
 def import_reference_module(dotted: str):
     """Import e.g. 'unified_video_action.model.autoregressive.diffusion' from the
-    reference tree (namespace packages, no __init__.py)."""
+    reference tree (namespace packages, no __init__.py).
+
+    REFERENCE_ROOT goes at the END of sys.path: it contains top-level modules
+    whose names collide with this repo's entry points (eval_sim.py, train.py),
+    and the repo must always win for those."""
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
     import importlib
 
     return importlib.import_module(dotted)

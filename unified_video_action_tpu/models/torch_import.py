@@ -372,3 +372,36 @@ def load_torch_checkpoint(path: str):
     return torch.load(
         path, map_location="cpu", weights_only=False, pickle_module=_PickleModule
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tower (reference: HF CLIPTextModelWithProjection used frozen,
+# utils/language_model.py:7-33) -> models/clip.ClipTextModel
+# ---------------------------------------------------------------------------
+
+
+def import_clip_text(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """HF CLIPTextModelWithProjection state dict -> flax ClipTextModel params."""
+    tree: dict = {}
+    emb = "text_model.embeddings."
+    _set(tree, ("token_embedding",), sd[emb + "token_embedding.weight"])
+    _set(tree, ("position_embedding",), sd[emb + "position_embedding.weight"])
+    for i in range(num_layers):
+        tp = f"text_model.encoder.layers.{i}."
+        fp = (f"layer_{i}",)
+        assign_module(tree, fp + ("layer_norm1",), tp + "layer_norm1", sd, "norm")
+        assign_module(tree, fp + ("layer_norm2",), tp + "layer_norm2", sd, "norm")
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            assign_module(
+                tree, fp + ("self_attn", proj), tp + f"self_attn.{proj}", sd,
+                "linear",
+            )
+        assign_module(tree, fp + ("fc1",), tp + "mlp.fc1", sd, "linear")
+        assign_module(tree, fp + ("fc2",), tp + "mlp.fc2", sd, "linear")
+    assign_module(
+        tree, ("final_layer_norm",), "text_model.final_layer_norm", sd, "norm"
+    )
+    # HF text_projection is a bias-free Linear (out, in); flax side is a raw
+    # (in, out) matrix
+    _set(tree, ("text_projection",), linear_kernel(sd["text_projection.weight"]))
+    return tree

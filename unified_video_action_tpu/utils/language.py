@@ -44,30 +44,63 @@ class HashTextEncoder:
 
 
 class ClipTextEncoder:
-    """CLIP text tower via transformers (torch CPU), frozen; lazy-loaded."""
+    """CLIP text tower run in JAX (models/clip.ClipTextModel), frozen.
+
+    The HF torch checkpoint is read ONCE at construction and imported into
+    the flax tower (torch_import.import_clip_text, parity-tested) so goal
+    encoding runs on-device with the rest of the policy; only tokenization
+    stays host-side (transformers' BPE tokenizer)."""
 
     dim = CLIP_DIM
 
     def __init__(self, model_name: str = "openai/clip-vit-base-patch32",
                  max_length: int = 30):
+        import jax
+        import jax.numpy as jnp
         from transformers import CLIPTokenizer, CLIPTextModelWithProjection
 
+        from unified_video_action_tpu.models import torch_import
+        from unified_video_action_tpu.models.clip import (
+            ClipTextConfig,
+            ClipTextModel,
+        )
+
         self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
-        self.model = CLIPTextModelWithProjection.from_pretrained(model_name).eval()
+        tm = CLIPTextModelWithProjection.from_pretrained(model_name).eval()
+        hf = tm.config
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        del tm
+        cfg = ClipTextConfig(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            max_position_embeddings=hf.max_position_embeddings,
+            projection_dim=hf.projection_dim,
+            eos_token_id=hf.eos_token_id,
+        )
+        self._params = jax.tree.map(
+            jnp.asarray,
+            torch_import.import_clip_text(sd, cfg.num_layers),
+        )
+        self._model = ClipTextModel(cfg)
+        self._apply = jax.jit(
+            lambda ids: self._model.apply({"params": self._params}, ids)
+        )
         self.max_length = max_length
 
     def encode(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
-        import torch
+        import numpy as np
 
         if isinstance(texts, str):
             texts = [texts]
         tokens = self.tokenizer(
             list(texts), padding="max_length", max_length=self.max_length,
-            truncation=True, return_tensors="pt",
+            truncation=True, return_tensors="np",
         )
-        with torch.no_grad():
-            out = self.model(**tokens)
-        return out.text_embeds.numpy().astype(np.float32)
+        ids = tokens["input_ids"].astype(np.int32)
+        return np.asarray(self._apply(ids)).astype(np.float32)
 
 
 def get_text_encoder(
