@@ -21,18 +21,42 @@ import orbax.checkpoint as ocp
 from unified_video_action_tpu.data.normalizer import LinearNormalizer
 
 
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has committed (call at train end
+    and before reading back a just-written checkpoint)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     path: str,
     state,
     cfg: Optional[dict] = None,
     normalizer: Optional[LinearNormalizer] = None,
     epoch: int = 0,
+    blocking: bool = True,
 ) -> None:
+    """Write a checkpoint; with ``blocking=False`` the orbax array write runs
+    in the background (the reference saves in a thread,
+    base_workspace.py:65-69 — here orbax's async machinery does it with
+    device-buffer snapshotting, so the train loop continues immediately)."""
     path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    # a previous async save may still hold this or another directory
+    ckptr.wait_until_finished()
     if os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
     payload = {
         "step": state.step,
         "mar_params": state.mar_params,
@@ -40,7 +64,6 @@ def save_checkpoint(
         "opt_state": state.opt_state,
     }
     ckptr.save(os.path.join(path, "state"), payload)
-    ckptr.wait_until_finished()
     meta = {"epoch": int(epoch), "step": int(jax.device_get(state.step))}
     if cfg is not None:
         meta["cfg"] = cfg
@@ -48,10 +71,13 @@ def save_checkpoint(
         json.dump(meta, f, indent=2, default=str)
     if normalizer is not None:
         normalizer.save(os.path.join(path, "normalizer.npz"))
+    if blocking:
+        ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str, state):
     """Restore into an existing state template; returns (state, meta, normalizer)."""
+    wait_for_checkpoints()  # the path may have an async save in flight
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = {

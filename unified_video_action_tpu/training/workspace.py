@@ -195,10 +195,10 @@ class TrainWorkspace:
         while self.epoch < num_epochs:
             t0 = time.time()
             epoch_losses = []
-            for i, batch in enumerate(loader):
+            transfer = lambda b: mesh_lib.shard_batch(_to_jax_batch(b), mesh)
+            for i, batch in enumerate(_device_prefetch(iter(loader), transfer)):
                 if max_train_steps is not None and i >= max_train_steps:
                     break
-                batch = mesh_lib.shard_batch(_to_jax_batch(batch), mesh)
                 task_mode = self.policy.choose_task_mode(self.np_rng)
                 T = batch["obs"]["image"].shape[1]
                 # umi stage-2 recipe: a fresh random history-frequency index
@@ -287,6 +287,7 @@ class TrainWorkspace:
                 ckpt_lib.save_checkpoint(
                     latest_path, state, cfg=cfg_dict,
                     normalizer=self.policy.normalizer, epoch=self.epoch,
+                    blocking=False,  # array write overlaps the next epoch
                 )
                 monitor = topk.monitor_key
                 if monitor in step_log:
@@ -297,10 +298,12 @@ class TrainWorkspace:
                         ckpt_lib.save_checkpoint(
                             p, state, cfg=cfg_dict,
                             normalizer=self.policy.normalizer, epoch=self.epoch,
+                            blocking=False,
                         )
 
             self.epoch += 1
 
+        ckpt_lib.wait_for_checkpoints()  # commit any in-flight async save
         logger.close()
         tracker.finish()
         self.state = state
@@ -335,6 +338,21 @@ def _to_jax_batch(batch):
     import jax.numpy as jnp
 
     return jax.tree.map(jnp.asarray, batch)
+
+
+def _device_prefetch(it, transfer, depth: int = 2):
+    """Keep ``depth`` batches in flight on device: jax transfers are async,
+    so the NEXT batch's H2D upload overlaps the current train step (the
+    device-side analog of the reference's DataLoader prefetch)."""
+    import collections
+
+    buf = collections.deque()
+    for item in it:
+        buf.append(transfer(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 register(
