@@ -9,21 +9,17 @@ analog), per-host batch slicing, and a cross-process XLA all-reduce.
 import os
 import sys
 
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
-)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unified_video_action_tpu.utils.cpu_platform import force_cpu
+
+force_cpu(4)
 
 
 def main():
     coord, pid = sys.argv[1], int(sys.argv[2])
 
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
 
     from unified_video_action_tpu.parallel import mesh as mesh_lib
 

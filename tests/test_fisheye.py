@@ -92,3 +92,21 @@ def test_output_shape_and_center():
     assert len(xs) > 0
     # distortion center maps to the output principal point (image center)
     assert abs(xs.mean() - 63.5) < 3 and abs(ys.mean() - 47.5) < 3
+
+
+def test_cal_size_rescaling():
+    """K calibrated at one resolution must be rescaled to the capture stream's
+    resolution (regression: in_size was ignored)."""
+    cal = parse_fisheye_intrinsics(CAL)
+    # stream at half resolution: the distortion-center blob must STILL land
+    # at the output principal point
+    conv = FisheyeRectConverter(
+        cal["K"], cal["D"], in_size=(160, 120), out_size=(128, 96),
+        out_fov=80.0, cal_size=(320, 240),
+    )
+    src = np.zeros((120, 160, 3), np.uint8)
+    src[58:62, 78:82] = 255  # center blob at the scaled principal point
+    out = conv(src)
+    ys, xs = np.nonzero(out[..., 0] > 0)
+    assert len(xs) > 0
+    assert abs(xs.mean() - 63.5) < 3 and abs(ys.mean() - 47.5) < 3

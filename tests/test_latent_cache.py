@@ -154,3 +154,21 @@ def test_toolhang_cached_full_modalities(toolhang_policy):
     assert result2["action"].shape == (2, 8, 10)
     assert np.isfinite(result2["action_pred"]).all()
     np.testing.assert_allclose(cache2[:, :2], cache[:, 2:], atol=1e-6)
+
+
+def test_vae_encode_chunk_remainder(tiny_policy):
+    """Chunked VAE encode must cover non-divisible frame counts (regression:
+    the chunk gate required n % chunk == 0 and silently fell back to the
+    full-batch encode — the OOM the option exists to prevent)."""
+    policy, params = tiny_policy
+    rng = np.random.RandomState(3)
+    frames = jax.numpy.asarray(rng.rand(7, 2, 3, 32, 32).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    ref = policy._encode_frames(params["vae"], frames, key)
+    policy.vae_encode_chunk = 4  # 14 frames -> 3 chunks of 4 + tail of 2
+    try:
+        out = policy._encode_frames(params["vae"], frames, key)
+    finally:
+        policy.vae_encode_chunk = None
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

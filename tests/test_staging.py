@@ -93,3 +93,25 @@ def test_fetch_cached_short_circuit(tmp_path):
     dst.write_bytes(b"data")
     out = fetch_one("https://example.com/x.zip", str(tmp_path / "raw"))
     assert out.endswith("(cached)")
+
+
+def test_lz4_concatenated_frames():
+    """The lz4 CLI concatenates frames for multi-part archives; the reader
+    must decode across frame boundaries (regression: EOF was declared at the
+    first frame end when it aligned with a read chunk)."""
+    a = b"first frame " * 500
+    b = b"second frame " * 500
+    blob = lz4f.compress(a) + lz4f.compress(b)
+    assert lz4f.decompress(blob) == a + b
+    # ...even when the source chunking lands exactly on the boundary
+    stream = lz4f.FrameDecompressor(io.BytesIO(blob), chunk_size=len(lz4f.compress(a)))
+    assert stream.read(-1) == a + b
+
+
+def test_open_frame_closes_file(tmp_path):
+    p = tmp_path / "x.lz4"
+    p.write_bytes(lz4f.compress(b"payload"))
+    with lz4f.open_frame(str(p)) as s:
+        assert s.read(-1) == b"payload"
+        inner = s._f
+    assert inner.closed

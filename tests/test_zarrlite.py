@@ -236,3 +236,43 @@ def test_umi_lazy_dataset_streams_from_zarr(tmp_path):
     for k in a:
         if isinstance(a[k], np.ndarray):
             np.testing.assert_allclose(a[k], b[k], err_msg=k)
+
+
+def test_negative_step_slicing(tmp_path):
+    """arr[::-1] and friends must return the reversed selection, not empty
+    (regression: the step path materialized slice(n-1, -1) == empty)."""
+    import numpy as np
+
+    from unified_video_action_tpu.data import zarrlite
+
+    root = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="w")
+    data = np.arange(40, dtype=np.int64).reshape(10, 4)
+    root.create_dataset("d", data=data, chunks=(3, 4))
+    arr = zarrlite.open_group(str(tmp_path / "s.zarr"), mode="r")["d"]
+    np.testing.assert_array_equal(arr[::-1], data[::-1])
+    np.testing.assert_array_equal(arr[::2], data[::2])
+    np.testing.assert_array_equal(arr[7:2:-2], data[7:2:-2])
+    np.testing.assert_array_equal(arr[8:1:-3, 1:3], data[8:1:-3, 1:3])
+
+
+def test_zip_store_append_sees_existing(tmp_path):
+    """open_group(mode='a') on an existing .zarr.zip must expose its arrays
+    (regression: append mode started with an empty name set)."""
+    import numpy as np
+
+    from unified_video_action_tpu.data import zarrlite
+
+    path = str(tmp_path / "c.zarr.zip")
+    g = zarrlite.open_group(path, mode="w")
+    g.create_dataset("a", data=np.arange(6).reshape(2, 3))
+    g.store.close()
+
+    g2 = zarrlite.open_group(path, mode="a")
+    assert "a" in g2
+    np.testing.assert_array_equal(g2["a"][:], np.arange(6).reshape(2, 3))
+    g2.create_dataset("b", data=np.ones(4))
+    g2.store.close()
+
+    g3 = zarrlite.open_group(path, mode="r")
+    np.testing.assert_array_equal(g3["b"][:], np.ones(4))
+    np.testing.assert_array_equal(g3["a"][:], np.arange(6).reshape(2, 3))

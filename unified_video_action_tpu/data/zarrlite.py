@@ -419,7 +419,9 @@ class ZipStore(Store):
             path, mode=mode,
             compression=zipfile.ZIP_STORED,  # chunks are already compressed
         )
-        self._names = set(self._zf.namelist()) if mode == "r" else set()
+        # "a" on an existing archive must see its entries (mode "w" truncates,
+        # so only there is the listing empty by construction)
+        self._names = set(self._zf.namelist()) if mode != "w" else set()
         self._lock = threading.Lock()
         self._pid = os.getpid()
 
@@ -611,15 +613,23 @@ class ZarrArray:
             elif isinstance(k, slice):
                 start, stop, step = k.indices(n)
                 if step != 1:
-                    # rare path: materialize then step
+                    # rare path: materialize the covered contiguous range,
+                    # then apply the stepped slice re-based onto it (for a
+                    # negative step the range is [stop+1, start+1) walked
+                    # backwards from its last element)
+                    if step > 0:
+                        lo, hi = start, stop
+                        sub = slice(None, None, step)
+                    else:
+                        lo, hi = stop + 1, start + 1
+                        sub = slice(start - lo, None, step)
                     base = self[
                         tuple(key[:d])
-                        + (slice(start, stop),)
+                        + (slice(lo, max(hi, lo)),)
                         + tuple(key[d + 1:])
                     ]
                     return base[
-                        (slice(None),) * (d - len(drop_axes))
-                        + (slice(None, None, step),)
+                        (slice(None),) * (d - len(drop_axes)) + (sub,)
                     ]
                 sel.append((start, stop))
             else:

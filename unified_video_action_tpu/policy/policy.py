@@ -291,15 +291,23 @@ class UnifiedVideoActionPolicy:
         flat = frames.reshape(B * T, *frames.shape[2:])
         n = flat.shape[0]
         ck = self.vae_encode_chunk
-        if ck and n > ck and n % ck == 0:
+        if ck and n > ck:
             enc = lambda x: self.vae.apply(
                 {"params": vae_params}, x, method=KLVae.encode
             )
+            # non-divisible n: scan the divisible prefix, encode the tail as
+            # one extra call — peak HBM stays bounded by the chunk size for
+            # EVERY n (e.g. the 56-env runner batch x 4 frames = 224)
+            n_full = (n // ck) * ck
             mean, logvar = jax.lax.map(
-                enc, flat.reshape(n // ck, ck, *flat.shape[1:])
+                enc, flat[:n_full].reshape(n_full // ck, ck, *flat.shape[1:])
             )
-            mean = mean.reshape(n, *mean.shape[2:])
-            logvar = logvar.reshape(n, *logvar.shape[2:])
+            mean = mean.reshape(n_full, *mean.shape[2:])
+            logvar = logvar.reshape(n_full, *logvar.shape[2:])
+            if n_full != n:
+                m_t, lv_t = enc(flat[n_full:])
+                mean = jnp.concatenate([mean, m_t], axis=0)
+                logvar = jnp.concatenate([logvar, lv_t], axis=0)
         else:
             mean, logvar = self.vae.apply(
                 {"params": vae_params}, flat, method=KLVae.encode
@@ -423,10 +431,11 @@ class UnifiedVideoActionPolicy:
         idx = list(frame_util.select_frame_indices(T_obs, eval=True))
 
         text_latents = None
-        if self.language_emb_model is not None:
+        if self.language_emb_model is not None and language_goal is not None:
             if "umi" in self.task_name:
+                # umi serving passes precomputed CLIP latents through
                 text_latents = jnp.asarray(language_goal)
-            elif language_goal is not None:
+            else:
                 text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
         history_actions = None
         if self.use_history_action and "past_action" in obs_dict:
@@ -496,10 +505,11 @@ class UnifiedVideoActionPolicy:
         image = jnp.asarray(sel)
 
         text_latents = None
-        if self.language_emb_model is not None:
+        if self.language_emb_model is not None and language_goal is not None:
             if "umi" in self.task_name:
+                # umi serving passes precomputed CLIP latents through
                 text_latents = jnp.asarray(language_goal)
-            elif language_goal is not None:
+            else:
                 text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
 
         history_actions = None

@@ -128,12 +128,17 @@ class UmiRealEnv:
         assert self.is_ready
         dt = 1.0 / self.frequency
 
-        # pull enough frames to cover the aligned horizon at each device rate
-        k_cam = int(np.ceil(
-            self.camera_obs_horizon * self.camera_down_sample_steps
-            * max(self.cameras[0].fps * dt, 1.0)
-        )) + 2
-        cam_data = [cam.get(min(k_cam, cam.get_max_k)) for cam in self.cameras]
+        # pull enough frames to cover the aligned horizon at EACH camera's own
+        # rate (a 60 fps wrist camera needs twice the frames of a 30 fps
+        # scene camera for the same time window)
+        def k_for(cam):
+            k = int(np.ceil(
+                self.camera_obs_horizon * self.camera_down_sample_steps
+                * max(cam.fps * dt, 1.0)
+            )) + 2
+            return min(k, cam.get_max_k)
+
+        cam_data = [cam.get(k_for(cam)) for cam in self.cameras]
 
         robot_state = self.robot.get_all_state()
         gripper_state = self.gripper.get_all_state()

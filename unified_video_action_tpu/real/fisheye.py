@@ -50,9 +50,22 @@ class FisheyeRectConverter:
         in_size: Tuple[int, int],
         out_size: Tuple[int, int] = (224, 224),
         out_fov: float = 90.0,
-        balance: Optional[float] = None,
+        cal_size: Optional[Tuple[int, int]] = None,
     ):
+        """``in_size`` = (w, h) of the frames actually fed to ``forward``;
+        ``cal_size`` = the resolution K was calibrated at (e.g. the GoPro's
+        2704×2028 against a 640×480 capture stream). When they differ, the
+        intrinsics are rescaled to the stream's pixel space — fisheye
+        distortion coefficients are resolution-invariant, K is not."""
         import cv2
+
+        K = np.array(K, np.float64)
+        in_w, in_h = in_size
+        if cal_size is not None and tuple(cal_size) != (in_w, in_h):
+            cal_w, cal_h = cal_size
+            K = K.copy()
+            K[0, :] *= in_w / cal_w   # fx, skew, cx
+            K[1, :] *= in_h / cal_h   # fy, cy
 
         out_w, out_h = out_size
         # pinhole intrinsics for the requested output field of view
@@ -66,7 +79,7 @@ class FisheyeRectConverter:
             np.float64,
         )
         self.map1, self.map2 = cv2.fisheye.initUndistortRectifyMap(
-            np.asarray(K, np.float64),
+            K,
             np.asarray(D, np.float64).reshape(4, 1),
             np.eye(3),
             P,

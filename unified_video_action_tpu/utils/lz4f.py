@@ -78,8 +78,14 @@ def compress(data: bytes) -> bytes:
 class FrameDecompressor(io.RawIOBase):
     """Streaming LZ4 frame reader usable as a file object (for tarfile)."""
 
-    def __init__(self, fileobj: BinaryIO, chunk_size: int = 1 << 20):
+    def __init__(
+        self,
+        fileobj: BinaryIO,
+        chunk_size: int = 1 << 20,
+        owns_fileobj: bool = False,
+    ):
         self._f = fileobj
+        self._owns_f = owns_fileobj
         self._chunk = chunk_size
         self._buf = b""
         self._src_rem = b""
@@ -121,8 +127,10 @@ class FrameDecompressor(io.RawIOBase):
                 raise ValueError("LZ4F_decompress failed (corrupt frame?)")
             self._buf += dst.raw[: dst_size.value]
             self._src_rem = self._src_rem[src_size.value :]
-            if rc == 0 and not self._src_rem:
-                self._eof = True
+            # rc == 0 marks a frame boundary, NOT end-of-stream: the lz4 CLI
+            # produces concatenated frames (multi-part archives) and the
+            # context decodes the next frame seamlessly. EOF only when the
+            # underlying file is exhausted (empty read at the top).
             if dst_size.value:
                 return
 
@@ -142,6 +150,8 @@ class FrameDecompressor(io.RawIOBase):
         if self._ctx:
             lib.LZ4F_freeDecompressionContext(self._ctx)
             self._ctx = ctypes.c_void_p()
+        if self._owns_f:
+            self._f.close()
         super().close()
 
 
@@ -152,4 +162,4 @@ def decompress(data: bytes) -> bytes:
 def open_frame(path_or_fileobj, mode: str = "rb") -> FrameDecompressor:
     if hasattr(path_or_fileobj, "read"):
         return FrameDecompressor(path_or_fileobj)
-    return FrameDecompressor(open(path_or_fileobj, "rb"))
+    return FrameDecompressor(open(path_or_fileobj, "rb"), owns_fileobj=True)
