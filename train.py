@@ -39,6 +39,23 @@ def main(argv=None):
         config_root=args.config_root or CONFIG_ROOT,
     )
 
+    # multi-host: `distributed.coordinator=<host:port> distributed.num_processes=N
+    # distributed.process_id=i` overrides (or the standard cluster env vars,
+    # which initialize_distributed reads when the block is absent)
+    dist = cfg.get("distributed", {}) or {}
+    if dist.get("num_processes") or dist.get("coordinator"):
+        from unified_video_action_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=dist.get("coordinator"),
+            num_processes=(
+                int(dist["num_processes"]) if dist.get("num_processes") else None
+            ),
+            process_id=(
+                int(dist["process_id"]) if dist.get("process_id") is not None else None
+            ),
+        )
+
     output_dir = cfg.get("output_dir", "data/outputs/run")
     os.makedirs(output_dir, exist_ok=True)
 

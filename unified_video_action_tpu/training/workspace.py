@@ -62,6 +62,25 @@ class TrainWorkspace:
     # ------------------------------------------------------------------
 
     def run(self) -> Dict[str, Any]:
+        # Preemption safety (TPU spot/maintenance events deliver SIGTERM):
+        # installed FIRST so a signal during the long dataset/jit setup is
+        # also caught — the epoch loop then exits immediately and the final
+        # checkpoint save still runs. The reference has no equivalent
+        # (SURVEY §5.3).
+        import signal as _signal
+
+        preempted = {"flag": False}
+        prev_handlers = {}
+
+        def _on_preempt(signum, frame):
+            preempted["flag"] = True
+
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                prev_handlers[sig] = _signal.signal(sig, _on_preempt)
+            except (ValueError, OSError):  # non-main thread / unsupported
+                prev_handlers.pop(sig, None)
+
         cfg = self.cfg
         tcfg = cfg["training"]
         debug = bool(tcfg.get("debug", False))
@@ -192,7 +211,7 @@ class TrainWorkspace:
         key = jax.random.PRNGKey(self.seed + 1)
         last_metrics: Dict[str, Any] = {}
 
-        while self.epoch < num_epochs:
+        while self.epoch < num_epochs and not preempted["flag"]:
             t0 = time.time()
             epoch_losses = []
             transfer = lambda b: mesh_lib.shard_batch(_to_jax_batch(b), mesh)
@@ -216,6 +235,8 @@ class TrainWorkspace:
                 )
                 self.global_step += 1
                 epoch_losses.append(metrics)
+                if preempted["flag"]:
+                    break
 
             m = jax.device_get(epoch_losses[-1]) if epoch_losses else {}
             step_log = {
@@ -303,6 +324,15 @@ class TrainWorkspace:
 
             self.epoch += 1
 
+        if preempted["flag"]:
+            cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+            ckpt_lib.save_checkpoint(
+                latest_path, state, cfg=cfg_dict,
+                normalizer=self.policy.normalizer, epoch=self.epoch,
+            )
+            print(f"[preempt] checkpoint saved at epoch {self.epoch}; exiting")
+        for sig, h in prev_handlers.items():
+            _signal.signal(sig, h)
         ckpt_lib.wait_for_checkpoints()  # commit any in-flight async save
         logger.close()
         tracker.finish()
