@@ -84,3 +84,54 @@ def test_relative_pose_representation():
     np.testing.assert_allclose(rel[0], np.eye(4), atol=1e-10)
     back = pose_util.convert_pose_mat_rep(rel, base, "relative", backward=True)
     np.testing.assert_allclose(mats, back, atol=1e-9)
+
+
+def test_matrix_to_euler_roundtrip():
+    from unified_video_action_tpu.utils.rotation import (
+        euler_to_matrix,
+        matrix_to_euler,
+    )
+
+    rng = np.random.RandomState(0)
+    for conv in ("XYZ", "ZYX", "XZY"):
+        ang = rng.uniform(-1.2, 1.2, (20, 3))  # away from gimbal lock
+        R = euler_to_matrix(ang, conv)
+        back = matrix_to_euler(R, conv)
+        np.testing.assert_allclose(back, ang, atol=1e-9)
+
+
+def test_rotation_transformer_to_euler():
+    from unified_video_action_tpu.utils.rotation import RotationTransformer
+
+    rt = RotationTransformer("euler_angles", "rotation_6d",
+                             from_convention="XYZ")
+    ang = np.random.RandomState(1).uniform(-1.0, 1.0, (8, 3)).astype(np.float32)
+    six = rt.forward(ang)
+    back = rt.inverse(six)  # exercises matrix->euler
+    np.testing.assert_allclose(back, ang, atol=1e-5)
+
+
+def test_pose_delta_roundtrip():
+    from unified_video_action_tpu.utils.pose import convert_pose_mat_rep
+    from unified_video_action_tpu.utils.rotation import euler_to_matrix
+
+    rng = np.random.RandomState(2)
+
+    def rand_pose(n):
+        out = np.tile(np.eye(4), (n, 1, 1))
+        out[:, :3, :3] = euler_to_matrix(rng.uniform(-1, 1, (n, 3)))
+        out[:, :3, 3] = rng.randn(n, 3)
+        return out
+
+    base = rand_pose(1)[0]
+    poses = rand_pose(6)
+    delta = convert_pose_mat_rep(poses, base, pose_rep="delta")
+    back = convert_pose_mat_rep(delta, base, pose_rep="delta", backward=True)
+    np.testing.assert_allclose(back, poses, atol=1e-10)
+    # each delta is the previous-frame-relative increment
+    np.testing.assert_allclose(
+        delta[0], np.linalg.inv(base) @ poses[0], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        delta[3], np.linalg.inv(poses[2]) @ poses[3], atol=1e-10
+    )

@@ -83,9 +83,24 @@ def convert_pose_mat_rep(
             return pose_mat.copy()
         if pose_rep == "relative":
             return mat_inverse(base_pose_mat) @ pose_mat
+        if pose_rep == "delta":
+            # frame-to-frame increment: pose[t] expressed in pose[t-1]'s
+            # frame, first step relative to the base pose
+            prev = np.concatenate(
+                [np.broadcast_to(base_pose_mat, pose_mat[:1].shape),
+                 pose_mat[:-1]], axis=0,
+            )
+            return mat_inverse(prev) @ pose_mat
         raise NotImplementedError(pose_rep)
     if pose_rep == "abs":
         return pose_mat.copy()
     if pose_rep == "relative":
         return base_pose_mat @ pose_mat
+    if pose_rep == "delta":
+        out = np.empty_like(pose_mat)
+        prev = np.asarray(base_pose_mat)
+        for t in range(pose_mat.shape[0]):
+            prev = prev @ pose_mat[t]
+            out[t] = prev
+        return out
     raise NotImplementedError(pose_rep)

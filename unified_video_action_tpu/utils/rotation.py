@@ -204,6 +204,17 @@ def euler_to_matrix(angles, convention: str = "XYZ") -> np.ndarray:
     return R
 
 
+def matrix_to_euler(R, convention: str = "XYZ") -> np.ndarray:
+    """Inverse of ``euler_to_matrix`` (intrinsic rotations in convention
+    order — scipy's uppercase-seq semantics, which the euler tests pin)."""
+    from scipy.spatial.transform import Rotation
+
+    R = _np(R)
+    flat = Rotation.from_matrix(R.reshape(-1, 3, 3))
+    out = flat.as_euler(convention).reshape(R.shape[:-2] + (3,))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # RotationTransformer facade (reference API)
 # ---------------------------------------------------------------------------
@@ -240,7 +251,7 @@ class RotationTransformer:
 
     def _from_mat(self, R, rep, convention):
         if rep == "euler_angles":
-            raise NotImplementedError("matrix->euler not needed by the pipeline")
+            return matrix_to_euler(R, convention)
         return _FROM_MATRIX[rep](R)
 
     def forward(self, x):
