@@ -1,5 +1,7 @@
 """Offline metrics: frechet distance sanity + action L2."""
 
+import os
+
 import numpy as np
 
 from unified_video_action_tpu.eval.metrics import (
@@ -38,3 +40,27 @@ def test_video_fvd_pixel_fallback():
     real = rng.randint(0, 255, (16, 8, 32, 32, 3)).astype(np.float32)
     out = video_fvd(real, real.copy(), embedder=pixel_embeddings)
     assert abs(out["video_fvd"] if "video_fvd" in out else out["video_fvd_pixel"]) < 1e-6
+
+
+def test_keypoint_overlay_video(tmp_path):
+    """human_pp keypoints.eval mode: gt/pred overlay gif written from frames
+    + action chunks (reference eval/eval.py keypoint branch)."""
+    from unified_video_action_tpu.eval.offline import _write_keypoint_overlay
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(6, 3, 32, 32).astype(np.float32)
+    gt = rng.uniform(0, 512, (6, 4)).astype(np.float32)      # 2 keypoints
+    pred = gt + rng.randn(6, 4).astype(np.float32) * 10
+    path = str(tmp_path / "kp.gif")
+    _write_keypoint_overlay(frames, gt, pred, path)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+    import imageio.v2 as imageio
+
+    vid = imageio.mimread(path)
+    assert len(vid) == 6
+    # overlay drew green (gt) and red (pred) marks somewhere
+    arr = np.stack([np.asarray(f)[..., :3] for f in vid])
+    green = (arr[..., 1] > 200) & (arr[..., 0] < 80)
+    red = (arr[..., 0] > 200) & (arr[..., 1] < 80)
+    assert green.any() and red.any()

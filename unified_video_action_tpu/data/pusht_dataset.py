@@ -56,7 +56,9 @@ class PushTImageDataset:
     ):
         self.agent_pos_dim = agent_pos_dim
         if synthetic is not None:
-            self.replay_buffer = make_synthetic_pusht(n_episodes=synthetic, seed=seed)
+            self.replay_buffer = make_synthetic_pusht(
+                n_episodes=synthetic, seed=seed, agent_pos_dim=agent_pos_dim
+            )
         else:
             assert os.path.exists(dataset_path), dataset_path
             self.replay_buffer = ReplayBuffer.load(
@@ -154,10 +156,16 @@ def make_synthetic_pusht(
     max_steps: int = 60,
     seed: int = 42,
     render_size: int = 96,
+    agent_pos_dim: int = 2,
 ) -> ReplayBuffer:
     """Roll out a scripted pusher in the framework's own PushT env to build a
     small replay buffer (test/demo stand-in for the reference's
-    pusht_cchi_v7_replay data)."""
+    pusht_cchi_v7_replay data).
+
+    ``agent_pos_dim > 2`` fabricates the human_pp keypoint variant: the 2-D
+    agent/action tracks expand to K = agent_pos_dim // 2 keypoints (agent
+    position plus fixed in-plane offsets), matching the reference's 14-wide
+    hand-keypoint action space (dataset/human_image_dataset.py)."""
     from unified_video_action_tpu.envs.pusht import PushTEnv
 
     buffer = ReplayBuffer.create_empty()
@@ -182,11 +190,24 @@ def make_synthetic_pusht(
             _, _, done, _, _ = env.step(action)
             if done:
                 break
+        state_arr = np.asarray(states, dtype=np.float32)
+        action_arr = np.asarray(actions, dtype=np.float32)
+        if agent_pos_dim > 2:
+            k = agent_pos_dim // 2
+            offs = rng.uniform(-20, 20, (1, k, 2)).astype(np.float32)
+
+            def expand(xy):
+                pts = xy[:, None, :] + offs  # (T, K, 2) keypoints
+                return np.clip(pts, 0, 511).reshape(len(xy), 2 * k)
+            action_arr = expand(action_arr)
+            state_arr = np.concatenate(
+                [expand(state_arr[:, :2]), state_arr[:, 2:]], axis=1
+            )
         buffer.add_episode(
             {
                 "img": np.asarray(imgs, dtype=np.uint8),
-                "state": np.asarray(states, dtype=np.float32),
-                "action": np.asarray(actions, dtype=np.float32),
+                "state": state_arr,
+                "action": action_arr,
             }
         )
     return buffer

@@ -112,8 +112,13 @@ def test_action_l2(
     val_batches: Iterable[Dict],
     key,
     num_batches: int = 8,
+    keypoint_video_path: Optional[str] = None,
 ) -> Dict[str, float]:
-    """policy_model sampling vs ground-truth future chunk -> RMSE."""
+    """policy_model sampling vs ground-truth future chunk -> RMSE.
+
+    With ``keypoint_video_path`` (human_pp's ``keypoints.eval`` mode,
+    reference eval/eval.py:282-417), the first batch's frames are written as
+    an overlay video: ground-truth keypoints green, predicted red."""
     dists = []
     for bi, batch in enumerate(val_batches):
         if bi >= num_batches:
@@ -128,7 +133,44 @@ def test_action_l2(
             policy.use_history_action,
         )
         dists.append(action_l2(result["action_pred"], future))
+        if bi == 0 and keypoint_video_path is not None:
+            _write_keypoint_overlay(
+                np.asarray(obs["image"][0]),
+                future[0],
+                result["action_pred"][0],
+                keypoint_video_path,
+            )
     return {"val_action_l2_distances": float(np.mean(dists))}
+
+
+def _write_keypoint_overlay(
+    frames: np.ndarray,
+    gt_actions: np.ndarray,
+    pred_actions: np.ndarray,
+    path: str,
+    scale: float = 512.0,
+) -> None:
+    """(T, 3, H, W) frames + (T', K*2) keypoint chunks -> overlay video
+    (gt green / pred red), one overlaid frame per predicted step."""
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    T = min(len(gt_actions), len(pred_actions), len(frames))
+    H, W = frames.shape[-2:]
+    out = []
+    for t in range(T):
+        img = np.ascontiguousarray(
+            np.moveaxis(np.asarray(frames[t]), 0, -1) * 255.0
+        ).astype(np.uint8).copy()
+        for kp, color in ((gt_actions[t], (0, 255, 0)),
+                          (pred_actions[t], (255, 0, 0))):
+            pts = np.asarray(kp, np.float64).reshape(-1, 2) / scale
+            for x, y in pts:
+                xi, yi = int(x * W), int(y * H)
+                if 0 <= xi < W and 0 <= yi < H:
+                    img[max(yi - 1, 0): yi + 2, max(xi - 1, 0): xi + 2] = color
+        out.append(img)
+    imageio.mimwrite(path, out, fps=5)
 
 
 def save_video_grid(videos: np.ndarray, path: str, fps: int = 10) -> None:

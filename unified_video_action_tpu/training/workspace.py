@@ -280,6 +280,33 @@ class TrainWorkspace:
                         val_losses.append(l2)
                 if val_losses:
                     step_log["val_action_l2_distances"] = float(np.mean(val_losses))
+                # human_pp keypoint mode: overlay video of gt-vs-pred
+                # keypoints on the first val batch (reference
+                # eval/eval.py:282-417 keypoint branch)
+                if bool(
+                    cfg.get("task", {}).get("keypoints", {}).get("eval", False)
+                ) and len(val_loader) > 0:
+                    try:
+                        from unified_video_action_tpu.eval.offline import (
+                            test_action_l2 as _l2_driver,
+                        )
+
+                        key, sub = jax.random.split(key)
+                        kp_path = os.path.join(
+                            self.output_dir, "media",
+                            f"keypoints_epoch{self.epoch}.gif",
+                        )
+                        _l2_driver(
+                            self.policy,
+                            {"mar": state.ema_params, "vae": state.vae_params},
+                            iter(val_loader), sub, num_batches=1,
+                            keypoint_video_path=kp_path,
+                        )
+                        tracker.log_video(
+                            "eval/keypoints", kp_path, step=self.global_step
+                        )
+                    except Exception as e:  # overlay must never kill training
+                        print(f"[keypoints] skipped: {e}")
 
             # rollout
             if env_runner is not None and (self.epoch % rollout_every) == 0:
