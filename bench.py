@@ -144,6 +144,10 @@ def main():
         sync(pending[s])
         pending[s], caches[s] = dispatch(2 + i, caches[s])
 
+    profile_dir = os.environ.get("UVA_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     n_done = 0
     t0 = time.perf_counter()
     for i in range(2 * ITERS):
@@ -152,6 +156,9 @@ def main():
         n_done += 1
         pending[s], caches[s] = dispatch((4 + i) % len(fresh), caches[s])
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     chunks_per_sec = BATCH * n_done / dt
     print(

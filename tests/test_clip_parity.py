@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from unified_video_action_tpu.models import torch_import
 from unified_video_action_tpu.models.clip import ClipTextConfig, ClipTextModel
 
+
+pytestmark = pytest.mark.slow
+
 CFG = dict(
     vocab_size=1000,
     hidden_size=64,

@@ -18,6 +18,9 @@ from eval_human import plot_keypoints, run_stream
 from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
 
+
+pytestmark = pytest.mark.slow
+
 class FakeCap:
     """cv2.VideoCapture stand-in: N synthetic BGR frames, then EOF."""
 

@@ -7,6 +7,9 @@ import pytest
 from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def tiny_policy():
     policy = UnifiedVideoActionPolicy(

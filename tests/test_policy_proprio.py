@@ -6,6 +6,9 @@ import pytest
 
 from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
+
+pytestmark = pytest.mark.slow
+
 TINY_AMP = {
     "model_size": "custom",
     "encoder_embed_dim": 64, "encoder_depth": 1, "encoder_num_heads": 4,

@@ -18,6 +18,9 @@ from unified_video_action_tpu.ops.quant import (
 )
 
 
+
+pytestmark = pytest.mark.slow
+
 def test_int8_matmul_accuracy():
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)

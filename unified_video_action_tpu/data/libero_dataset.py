@@ -60,7 +60,12 @@ def tokenize_language(text: str, max_length: int = 77) -> np.ndarray:
     try:
         from transformers import CLIPTokenizer
 
-        tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+        # local_files_only guards even when transformers was imported before
+        # the offline env vars were set (its constants are read at import
+        # time); zero-egress hosts otherwise hang in the hub connect
+        tok = CLIPTokenizer.from_pretrained(
+            "openai/clip-vit-base-patch32", local_files_only=True
+        )
         out = tok(
             text, padding="max_length", max_length=max_length,
             truncation=True, return_tensors="np",

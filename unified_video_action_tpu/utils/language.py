@@ -65,8 +65,15 @@ class ClipTextEncoder:
             ClipTextModel,
         )
 
-        self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
-        tm = CLIPTextModelWithProjection.from_pretrained(model_name).eval()
+        # local_files_only: offline env vars are read by transformers at its
+        # import time, which may precede this module's guard — force it per
+        # call so zero-egress hosts fail fast to the hash fallback
+        self.tokenizer = CLIPTokenizer.from_pretrained(
+            model_name, local_files_only=True
+        )
+        tm = CLIPTextModelWithProjection.from_pretrained(
+            model_name, local_files_only=True
+        ).eval()
         hf = tm.config
         sd = {k: v.numpy() for k, v in tm.state_dict().items()}
         del tm
