@@ -40,10 +40,16 @@ def main(argv=None):
     )
 
     # multi-host: `distributed.coordinator=<host:port> distributed.num_processes=N
-    # distributed.process_id=i` overrides (or the standard cluster env vars,
-    # which initialize_distributed reads when the block is absent)
+    # distributed.process_id=i` overrides, or the standard cluster env vars
+    # (jax.distributed auto-detection) when a coordinator address is present
+    # in the environment
     dist = cfg.get("distributed", {}) or {}
-    if dist.get("num_processes") or dist.get("coordinator"):
+    env_coord = any(
+        os.environ.get(k)
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "JAX_COORDINATOR_IP")
+    )
+    if dist.get("num_processes") or dist.get("coordinator") or env_coord:
         from unified_video_action_tpu.parallel.mesh import initialize_distributed
 
         initialize_distributed(

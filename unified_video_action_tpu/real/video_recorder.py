@@ -83,7 +83,11 @@ class VideoRecorderProcess(mp.Process):
             if getattr(self, "_path", None) is not None and self.ring.count > 0:
                 data = self.ring.get_last_k(1)
                 ts = float(data["timestamp"][0])
-                if ts > last_ts:
+                # decimate to the container rate: write a frame only when a
+                # full 1/fps period has elapsed in SOURCE timestamps, so the
+                # mp4 plays back in real time regardless of the camera's own
+                # rate (reference steps_per_render semantics)
+                if ts - last_ts >= 1.0 / self.fps - 1e-6:
                     frame = data["color"][0]
                     if writer is None:
                         h, w = frame.shape[:2]

@@ -22,6 +22,10 @@ from unified_video_action_tpu.data.normalizer import LinearNormalizer
 
 
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
+# async saves land in "<path>.tmp" and are renamed into place only after the
+# orbax write commits — the previous checkpoint at <path> survives any crash
+# mid-save, so resume never sees a partial directory
+_PENDING: list = []  # [(tmp_path, final_path)]
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -31,11 +35,24 @@ def _checkpointer() -> ocp.StandardCheckpointer:
     return _CKPTR
 
 
+def _finalize_pending() -> None:
+    """Rename committed tmp saves into place. Only call after
+    wait_until_finished() — the rename is what publishes the checkpoint."""
+    while _PENDING:
+        tmp, final = _PENDING.pop()
+        if not os.path.exists(tmp):
+            continue
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+
 def wait_for_checkpoints() -> None:
-    """Block until any in-flight async save has committed (call at train end
-    and before reading back a just-written checkpoint)."""
+    """Block until any in-flight async save has committed and been published
+    (call at train end and before reading back a just-written checkpoint)."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    _finalize_pending()
 
 
 def save_checkpoint(
@@ -49,30 +66,37 @@ def save_checkpoint(
     """Write a checkpoint; with ``blocking=False`` the orbax array write runs
     in the background (the reference saves in a thread,
     base_workspace.py:65-69 — here orbax's async machinery does it with
-    device-buffer snapshotting, so the train loop continues immediately)."""
+    device-buffer snapshotting, so the train loop continues immediately).
+    Either way the write goes to a temp directory and is renamed into place
+    only once fully committed, so the previous checkpoint at ``path`` is
+    never destroyed by a crash mid-save."""
     path = os.path.abspath(path)
     ckptr = _checkpointer()
-    # a previous async save may still hold this or another directory
+    # a previous async save may still hold a directory; publish it first
     ckptr.wait_until_finished()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _finalize_pending()
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
     payload = {
         "step": state.step,
         "mar_params": state.mar_params,
         "ema_params": state.ema_params,
         "opt_state": state.opt_state,
     }
-    ckptr.save(os.path.join(path, "state"), payload)
+    ckptr.save(os.path.join(tmp, "state"), payload)
     meta = {"epoch": int(epoch), "step": int(jax.device_get(state.step))}
     if cfg is not None:
         meta["cfg"] = cfg
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     if normalizer is not None:
-        normalizer.save(os.path.join(path, "normalizer.npz"))
+        normalizer.save(os.path.join(tmp, "normalizer.npz"))
+    _PENDING.append((tmp, path))
     if blocking:
         ckptr.wait_until_finished()
+        _finalize_pending()
 
 
 def load_checkpoint(path: str, state):

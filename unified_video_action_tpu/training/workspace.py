@@ -238,6 +238,13 @@ class TrainWorkspace:
                 if preempted["flag"]:
                     break
 
+            if preempted["flag"]:
+                # skip the epoch tail (FVD/val/rollouts/periodic saves):
+                # under a preemption grace window only the final checkpoint
+                # matters, and the partial epoch must NOT count as done —
+                # resume replays it from its start
+                break
+
             m = jax.device_get(epoch_losses[-1]) if epoch_losses else {}
             step_log = {
                 "epoch": self.epoch,
@@ -268,45 +275,39 @@ class TrainWorkspace:
                 except Exception as e:  # video eval must never kill training
                     print(f"[fvd] skipped: {e}")
 
-            # validation: action-L2 over val split (reference test_action_l2)
+            # validation: action-L2 over val split (reference test_action_l2);
+            # in human_pp keypoints.eval mode the first batch also writes a
+            # gt-vs-pred overlay video from the SAME prediction
             if (self.epoch % val_every) == 0 and len(val_loader) > 0:
+                kp_eval = bool(
+                    cfg.get("task", {}).get("keypoints", {}).get("eval", False)
+                )
+                kp_path = os.path.join(
+                    self.output_dir, "media", f"keypoints_epoch{self.epoch}.gif"
+                )
                 val_losses = []
                 for j, vb in enumerate(val_loader):
                     if max_val_steps is not None and j >= max_val_steps:
                         break
                     key, sub = jax.random.split(key)
-                    l2 = self._val_action_l2(state, vb, sub)
+                    try:
+                        l2 = self._val_action_l2(
+                            state, vb, sub,
+                            keypoint_video_path=(
+                                kp_path if (kp_eval and j == 0) else None
+                            ),
+                        )
+                    except Exception as e:  # overlay must never kill training
+                        print(f"[keypoints] overlay failed: {e}")
+                        l2 = self._val_action_l2(state, vb, sub)
                     if l2 is not None:
                         val_losses.append(l2)
                 if val_losses:
                     step_log["val_action_l2_distances"] = float(np.mean(val_losses))
-                # human_pp keypoint mode: overlay video of gt-vs-pred
-                # keypoints on the first val batch (reference
-                # eval/eval.py:282-417 keypoint branch)
-                if bool(
-                    cfg.get("task", {}).get("keypoints", {}).get("eval", False)
-                ) and len(val_loader) > 0:
-                    try:
-                        from unified_video_action_tpu.eval.offline import (
-                            test_action_l2 as _l2_driver,
-                        )
-
-                        key, sub = jax.random.split(key)
-                        kp_path = os.path.join(
-                            self.output_dir, "media",
-                            f"keypoints_epoch{self.epoch}.gif",
-                        )
-                        _l2_driver(
-                            self.policy,
-                            {"mar": state.ema_params, "vae": state.vae_params},
-                            iter(val_loader), sub, num_batches=1,
-                            keypoint_video_path=kp_path,
-                        )
-                        tracker.log_video(
-                            "eval/keypoints", kp_path, step=self.global_step
-                        )
-                    except Exception as e:  # overlay must never kill training
-                        print(f"[keypoints] skipped: {e}")
+                if kp_eval and os.path.exists(kp_path):
+                    tracker.log_video(
+                        "eval/keypoints", kp_path, step=self.global_step
+                    )
 
             # rollout
             if env_runner is not None and (self.epoch % rollout_every) == 0:
@@ -368,7 +369,9 @@ class TrainWorkspace:
 
     # ------------------------------------------------------------------
 
-    def _val_action_l2(self, state, batch, key) -> Optional[float]:
+    def _val_action_l2(
+        self, state, batch, key, keypoint_video_path=None
+    ) -> Optional[float]:
         """RMSE between predicted and ground-truth future action chunk over the
         first 9 dims (reference eval/eval.py:282-417)."""
         if not self.policy.mar_cfg.predict_action:
@@ -386,6 +389,17 @@ class TrainWorkspace:
             actions, T, self.policy.shift_action, self.policy.use_history_action
         )
         pred = result["action_pred"]
+        if keypoint_video_path is not None:
+            # human_pp keypoints.eval overlay, reusing THIS prediction
+            # (reference eval/eval.py keypoint branch) — no extra sampling
+            from unified_video_action_tpu.eval.offline import (
+                _write_keypoint_overlay,
+            )
+
+            _write_keypoint_overlay(
+                np.asarray(obs["image"][0]), future[0], pred[0],
+                keypoint_video_path,
+            )
         n = min(pred.shape[-1], 9)
         d = pred[..., :n] - future[..., :n]
         return float(np.sqrt((d**2).mean()))

@@ -92,8 +92,11 @@ class ClipTextEncoder:
             torch_import.import_clip_text(sd, cfg.num_layers),
         )
         self._model = ClipTextModel(cfg)
+        # params are a traced ARGUMENT, not a closure: closing over them
+        # would bake the ~250 MB weight tree into the executable as constants
+        # (a second copy + slow constant-folding at trace time)
         self._apply = jax.jit(
-            lambda ids: self._model.apply({"params": self._params}, ids)
+            lambda params, ids: self._model.apply({"params": params}, ids)
         )
         self.max_length = max_length
 
@@ -107,7 +110,7 @@ class ClipTextEncoder:
             truncation=True, return_tensors="np",
         )
         ids = tokens["input_ids"].astype(np.int32)
-        return np.asarray(self._apply(ids)).astype(np.float32)
+        return np.asarray(self._apply(self._params, ids)).astype(np.float32)
 
 
 def get_text_encoder(
