@@ -175,3 +175,51 @@ def test_vae_encode_chunk_remainder(tiny_policy):
         policy.vae_encode_chunk = None
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def umi_language_policy():
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [10]}},
+        vae_model_params={
+            "autoencoder_path": None,
+            "ddconfig": {"vae_embed_dim": 8, "ch_mult": [1, 1, 2, 2], "ch": 32},
+        },
+        autoregressive_model_params={
+            "model_size": "custom",
+            "encoder_embed_dim": 64, "encoder_depth": 1, "encoder_num_heads": 4,
+            "decoder_embed_dim": 64, "decoder_depth": 1, "decoder_num_heads": 4,
+            "img_size": 32, "vae_stride": 8, "vae_embed_dim": 8,
+            "diffloss_d": 1, "diffloss_w": 32,
+            "diffloss_act_d": 1, "diffloss_act_w": 32,
+            "num_sampling_steps": "2", "act_diff_testing_steps": "2",
+            "attn_dropout": 0.0, "proj_dropout": 0.0,
+            "pretrained_model_path": None,
+        },
+        action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
+        task_name="umi",
+        language_emb_model="clip",
+        normalizer_type="none",
+        compute_dtype="float32",
+    )
+    params = policy.init_params(jax.random.PRNGKey(0))
+    return policy, params
+
+
+def test_umi_predict_without_goal_is_unconditional(umi_language_policy):
+    """umi serving with language_goal omitted must sample unconditionally
+    (regression: jnp.asarray(None) crashed both predict paths)."""
+    policy, params = umi_language_policy
+    rng = np.random.RandomState(4)
+    obs = {"image": rng.rand(2, 16, 3, 32, 32).astype(np.float32)}
+    key = jax.random.PRNGKey(5)
+    ref = policy.predict_action(params, obs, key)
+    assert np.isfinite(ref["action_pred"]).all()
+    cached, cache = policy.predict_action_cached(params, obs, key, cache=None)
+    np.testing.assert_array_equal(ref["action_pred"], cached["action_pred"])
+
+    # and the goal-conditioned path still works alongside it (the tiny
+    # clipped model saturates to ±1 so value differences are not asserted)
+    goal = rng.randn(2, 512).astype(np.float32)
+    with_goal = policy.predict_action(params, obs, key, language_goal=goal)
+    assert np.isfinite(with_goal["action_pred"]).all()

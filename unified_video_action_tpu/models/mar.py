@@ -445,19 +445,29 @@ class Mar(nn.Module):
 
         # --- text buffer ---
         if c.language_emb_model == "clip":
-            assert text_latents is not None
-            txt = jnp.repeat(text_latents[:, None, :], c.buffer_size_text, axis=1)
-            if train:
-                if rngs_key is None:
-                    raise ValueError("training requires rngs_key")
-                dk = jax.random.fold_in(rngs_key, 2)
-                drop = (
-                    jax.random.uniform(dk, (B,)) < c.label_drop_prob
-                )[:, None, None].astype(txt.dtype)
-                fake = jnp.broadcast_to(self.fake_latent[None], txt.shape).astype(
-                    txt.dtype
+            if text_latents is None:
+                # no goal given: condition on the learned null latent — the
+                # same "fake" buffer CFG label-drop trains as the
+                # unconditional branch (reference mar_con_unified.py:627-642)
+                txt = jnp.broadcast_to(
+                    self.fake_latent[None],
+                    (B, c.buffer_size_text, self.fake_latent.shape[-1]),
+                ).astype(h.dtype)
+            else:
+                txt = jnp.repeat(
+                    text_latents[:, None, :], c.buffer_size_text, axis=1
                 )
-                txt = drop * fake + (1.0 - drop) * txt
+                if train:
+                    if rngs_key is None:
+                        raise ValueError("training requires rngs_key")
+                    dk = jax.random.fold_in(rngs_key, 2)
+                    drop = (
+                        jax.random.uniform(dk, (B,)) < c.label_drop_prob
+                    )[:, None, None].astype(txt.dtype)
+                    fake = jnp.broadcast_to(
+                        self.fake_latent[None], txt.shape
+                    ).astype(txt.dtype)
+                    txt = drop * fake + (1.0 - drop) * txt
             txt = txt + self.text_pos_embed.astype(txt.dtype)
             h = jnp.concatenate([txt.astype(h.dtype), h], axis=1)
 
