@@ -128,10 +128,43 @@ def test_pose_delta_roundtrip():
     delta = convert_pose_mat_rep(poses, base, pose_rep="delta")
     back = convert_pose_mat_rep(delta, base, pose_rep="delta", backward=True)
     np.testing.assert_allclose(back, poses, atol=1e-10)
-    # each delta is the previous-frame-relative increment
+    # Reference semantics (pose_repr_util.py:72-88): world-frame position
+    # diff + left-multiplied rotation delta curr @ inv(prev).
     np.testing.assert_allclose(
-        delta[0], np.linalg.inv(base) @ poses[0], atol=1e-10
+        delta[0, :3, 3], poses[0, :3, 3] - base[:3, 3], atol=1e-10
     )
     np.testing.assert_allclose(
-        delta[3], np.linalg.inv(poses[2]) @ poses[3], atol=1e-10
+        delta[3, :3, :3],
+        poses[3, :3, :3] @ np.linalg.inv(poses[2, :3, :3]),
+        atol=1e-10,
     )
+
+
+def test_pose_delta_matches_reference():
+    """Pin 'delta' forward AND backward against the reference implementation
+    (common/pose_repr_util.py:55-122) on random trajectories."""
+    from tests._reference import reference_available, import_reference_module
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference unavailable")
+    ref = import_reference_module("unified_video_action.common.pose_repr_util")
+    from unified_video_action_tpu.utils.pose import convert_pose_mat_rep
+    from unified_video_action_tpu.utils.rotation import euler_to_matrix
+
+    rng = np.random.RandomState(7)
+    poses = np.tile(np.eye(4), (8, 1, 1))
+    poses[:, :3, :3] = euler_to_matrix(rng.uniform(-1, 1, (8, 3)))
+    poses[:, :3, 3] = rng.randn(8, 3)
+    base = np.eye(4)
+    base[:3, :3] = euler_to_matrix(rng.uniform(-1, 1, (3,)))
+    base[:3, 3] = rng.randn(3)
+
+    for rep in ("abs", "relative", "delta"):
+        fwd_ref = ref.convert_pose_mat_rep(poses, base, rep, backward=False)
+        fwd = convert_pose_mat_rep(poses, base, rep, backward=False)
+        np.testing.assert_allclose(fwd, fwd_ref, atol=1e-10)
+        bwd_ref = ref.convert_pose_mat_rep(fwd_ref, base, rep, backward=True)
+        bwd = convert_pose_mat_rep(fwd, base, rep, backward=True)
+        np.testing.assert_allclose(bwd, bwd_ref, atol=1e-10)

@@ -179,7 +179,20 @@ class DataLoader:
                     yield pending.pop(next_emit)
                     next_emit += 1
                     continue
-                batch_id, batch, err = result_q.get()
+                # Bounded wait: a worker killed without posting a result
+                # (segfault / OOM-kill in a forked child) must fail loudly,
+                # not hang the training process forever.
+                while True:
+                    try:
+                        batch_id, batch, err = result_q.get(timeout=5.0)
+                        break
+                    except queue.Empty:
+                        dead = [w.name for w in workers if not w.is_alive()]
+                        if dead and result_q.empty():
+                            raise RuntimeError(
+                                "data worker(s) died without reporting a "
+                                f"result: {dead}"
+                            )
                 in_flight -= 1
                 if err is not None:
                     raise RuntimeError(f"data worker failed:\n{err}")

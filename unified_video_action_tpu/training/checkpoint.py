@@ -42,9 +42,18 @@ def _finalize_pending() -> None:
         tmp, final = _PENDING.pop()
         if not os.path.exists(tmp):
             continue
+        # Rename-aside publish: at no instant is there NO checkpoint at
+        # either <final> or <final>.old — a crash between the two renames
+        # leaves the previous checkpoint recoverable (load_checkpoint falls
+        # back to .old/.tmp when <final> is absent).
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.replace(final, old)
         os.replace(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def wait_for_checkpoints() -> None:
@@ -84,6 +93,10 @@ def save_checkpoint(
         "mar_params": state.mar_params,
         "ema_params": state.ema_params,
         "opt_state": state.opt_state,
+        # frozen VAE params travel with the checkpoint so eval does not
+        # depend on the autoencoder_path file still existing (the reference
+        # similarly embeds everything needed in the ckpt, eval_sim.py:29-47)
+        "vae_params": state.vae_params,
     }
     ckptr.save(os.path.join(tmp, "state"), payload)
     meta = {"epoch": int(epoch), "step": int(jax.device_get(state.step))}
@@ -103,19 +116,32 @@ def load_checkpoint(path: str, state):
     """Restore into an existing state template; returns (state, meta, normalizer)."""
     wait_for_checkpoints()  # the path may have an async save in flight
     path = os.path.abspath(path)
+    if not os.path.exists(path):
+        # crash mid-publish: fall back to the rename-aside survivor
+        for cand in (path + ".old", path + ".tmp"):
+            if os.path.exists(cand):
+                path = cand
+                break
     ckptr = ocp.StandardCheckpointer()
     template = {
         "step": state.step,
         "mar_params": state.mar_params,
         "ema_params": state.ema_params,
         "opt_state": state.opt_state,
+        "vae_params": state.vae_params,
     }
-    restored = ckptr.restore(os.path.join(path, "state"), template)
+    try:
+        restored = ckptr.restore(os.path.join(path, "state"), template)
+    except Exception:
+        # pre-round-3 checkpoints have no vae_params item
+        template.pop("vae_params")
+        restored = ckptr.restore(os.path.join(path, "state"), template)
     state = state.replace(
         step=restored["step"],
         mar_params=restored["mar_params"],
         ema_params=restored["ema_params"],
         opt_state=restored["opt_state"],
+        vae_params=restored.get("vae_params", state.vae_params),
     )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)

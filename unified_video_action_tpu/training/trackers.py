@@ -45,7 +45,20 @@ def _jsonable(v: Any) -> Any:
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
-    return float(v)
+    # Never let one odd metric/config leaf crash the epoch loop: degrade
+    # vectors to lists and anything else to its repr (mirrors the
+    # json.dump(default=str) behavior used downstream).
+    try:
+        return float(v)
+    except Exception:
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if hasattr(v, "tolist"):
+            try:
+                return v.tolist()
+            except Exception:
+                pass
+        return str(v)
 
 
 class Tracker:

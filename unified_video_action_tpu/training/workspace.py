@@ -109,13 +109,16 @@ class TrainWorkspace:
         self.policy.set_normalizer(normalizer)
 
         batch_size = 2 if debug else int(cfg["dataloader"]["batch_size"])
+        worker_mode = cfg["dataloader"].get("worker_mode", "thread")
+        loader_prefetch = int(cfg["dataloader"].get("prefetch", 2))
         loader = DataLoader(
             dataset, batch_size, shuffle=True, seed=self.seed,
             num_workers=int(cfg["dataloader"].get("num_workers", 4)),
+            worker_mode=worker_mode, prefetch=loader_prefetch,
         )
         val_loader = DataLoader(
             val_dataset, batch_size, shuffle=False, drop_last=False,
-            num_workers=2,
+            num_workers=2, worker_mode=worker_mode, prefetch=loader_prefetch,
         )
 
         # mesh + optimizer + state: the data axis can't exceed the batch size

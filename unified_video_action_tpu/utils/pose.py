@@ -84,23 +84,35 @@ def convert_pose_mat_rep(
         if pose_rep == "relative":
             return mat_inverse(base_pose_mat) @ pose_mat
         if pose_rep == "delta":
-            # frame-to-frame increment: pose[t] expressed in pose[t-1]'s
-            # frame, first step relative to the base pose
-            prev = np.concatenate(
-                [np.broadcast_to(base_pose_mat, pose_mat[:1].shape),
-                 pose_mat[:-1]], axis=0,
-            )
-            return mat_inverse(prev) @ pose_mat
+            # Reference semantics (pose_repr_util.py:72-88): position deltas
+            # are WORLD-frame diffs and the rotation delta is left-multiplied
+            # (curr @ inv(prev)); this is NOT an SE(3) previous-frame-relative
+            # increment — decoded trajectories depend on matching it exactly.
+            base = np.asarray(base_pose_mat, dtype=pose_mat.dtype)
+            all_pos = np.concatenate(
+                [base[None, :3, 3], pose_mat[..., :3, 3]], axis=0)
+            out_pos = np.diff(all_pos, axis=0)
+            all_rot = np.concatenate(
+                [base[None, :3, :3], pose_mat[..., :3, :3]], axis=0)
+            out_rot = all_rot[1:] @ np.swapaxes(all_rot[:-1], -1, -2)
+            out = pose_mat.copy()
+            out[..., :3, :3] = out_rot
+            out[..., :3, 3] = out_pos
+            return out
         raise NotImplementedError(pose_rep)
     if pose_rep == "abs":
         return pose_mat.copy()
     if pose_rep == "relative":
         return base_pose_mat @ pose_mat
     if pose_rep == "delta":
-        out = np.empty_like(pose_mat)
-        prev = np.asarray(base_pose_mat)
+        # Reference backward (pose_repr_util.py:108-120): cumsum positions,
+        # left-compose rotation deltas onto the base rotation.
+        base = np.asarray(base_pose_mat, dtype=pose_mat.dtype)
+        out = pose_mat.copy()
+        out[..., :3, 3] = np.cumsum(pose_mat[..., :3, 3], axis=0) + base[:3, 3]
+        curr = base[:3, :3]
         for t in range(pose_mat.shape[0]):
-            prev = prev @ pose_mat[t]
-            out[t] = prev
+            curr = pose_mat[t, :3, :3] @ curr
+            out[t, :3, :3] = curr
         return out
     raise NotImplementedError(pose_rep)
