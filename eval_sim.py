@@ -72,6 +72,8 @@ def main(argv=None):
     log = env_rollout(policy, eval_params, runners, jax.random.PRNGKey(0))
 
     name = os.path.basename(os.path.normpath(args.checkpoint))
+    if "stub" in log.get("env_backend", ""):
+        name += ".STUB"  # stub-backed logs are self-identifying by filename too
     out_path = os.path.join(args.output_dir, f"eval_log_{name}.json")
     with open(out_path, "w") as f:
         json.dump(log, f, indent=2, sort_keys=True)

@@ -69,13 +69,27 @@ def env_rollout(policy, params, runners, key=None) -> Dict[str, Any]:
         runners = [runners]
     log: Dict[str, Any] = {}
     test_scores: List[float] = []
+    backends = set()
     for runner in runners:
         r = runner.run(policy, params, key)
         prefix = getattr(runner, "log_prefix", "")
+        backends.add(getattr(runner, "env_backend", "real"))
         for k, v in r.items():
             log[prefix + k] = v
         if "test/mean_score" in r:
             test_scores.append(r["test/mean_score"])
     if test_scores:
         log["test_mean_score"] = float(sum(test_scores) / len(test_scores))
+    # Every eval record self-identifies its env backend so a stub-backed
+    # score (envs/stub.py: a seed schedule, independent of the policy) can
+    # never be quoted as a real eval result.
+    log["env_backend"] = "+".join(sorted(backends))
+    if "stub" in backends:
+        log["STUB_SCORES_NOT_REAL"] = True
+        print(
+            "=" * 70
+            + "\nWARNING: one or more env runners used the 'stub' backend —"
+            "\nscores below are a fixed seed schedule, NOT a policy evaluation."
+            "\n" + "=" * 70
+        )
     return log
