@@ -118,6 +118,12 @@ class ReplayBuffer:
         ``{"img": {"id": "imagecodecs_jpeg2k", "level": 50}}``); unlisted keys
         use the blosc/lz4 default, matching the reference caches
         (robomimic_replay_image_dataset.py:355-370).
+
+        Writes stream chunk-row by chunk-row, so a lazy source (``load(...,
+        lazy=True)``) converts stores far larger than RAM without ever
+        materializing an array — each roundtrip holds one time-chunk of one
+        key (reference: incremental zarr writers,
+        robomimic_replay_image_dataset.py:262-380).
         """
         from . import zarrlite
 
@@ -126,15 +132,18 @@ class ReplayBuffer:
         g = root.require_group("data")
         compressors = compressors or {}
         for k, v in self.data.items():
-            v = np.asarray(v)
             chunks = self._optimal_chunks(v)
             if k in compressors:
                 # image codecs want one frame per chunk
                 chunks = (1,) + v.shape[1:]
-            g.create_dataset(
-                k, data=v, chunks=chunks,
+            arr = g.create_dataset(
+                k, shape=v.shape, dtype=v.dtype, chunks=chunks,
                 compressor=compressors.get(k, "default"),
             )
+            t_chunk = chunks[0] if chunks else len(v)
+            for t0 in range(0, len(v), max(t_chunk, 1)):
+                t1 = min(t0 + t_chunk, len(v))
+                arr[t0:t1] = np.asarray(v[t0:t1])
         m = root.require_group("meta")
         m.create_dataset("episode_ends", data=self.episode_ends, compressor=None)
         root.store.close()

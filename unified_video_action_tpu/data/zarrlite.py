@@ -668,26 +668,117 @@ class ZarrArray:
 
     # -- writing ---------------------------------------------------------------
 
-    def __setitem__(self, key, value) -> None:
-        """Whole-array or aligned-region writes (writer used by caches/tests)."""
-        value = np.asarray(value, dtype=self.dtype)
-        if key == Ellipsis or key == slice(None):
-            assert value.shape == self.shape, (value.shape, self.shape)
-            for cidx in np.ndindex(
-                *[(s + c - 1) // c for s, c in zip(self.shape, self.chunks)]
-            ):
-                view_sl = tuple(
-                    slice(i * c, min((i + 1) * c, s))
-                    for i, c, s in zip(cidx, self.chunks, self.shape)
+    def _normalize_write_key(self, key):
+        """Basic-index write selection -> ([(start, stop)]*ndim, squeeze_dims).
+
+        Supports ints, unit-step slices and Ellipsis — the shapes episode /
+        chunk streaming needs. Fancy indexing stays read-only."""
+        if key is Ellipsis:
+            key = ()
+        if not isinstance(key, tuple):
+            key = (key,)
+        if Ellipsis in key:
+            i = key.index(Ellipsis)
+            key = (
+                key[:i]
+                + (slice(None),) * (self.ndim - (len(key) - 1))
+                + key[i + 1:]
+            )
+        key = key + (slice(None),) * (self.ndim - len(key))
+        if len(key) != self.ndim:
+            raise IndexError(f"too many indices for {self.ndim}-d array")
+        sel, squeeze = [], []
+        for d, (k, s) in enumerate(zip(key, self.shape)):
+            if isinstance(k, (int, np.integer)):
+                k = int(k) + (s if k < 0 else 0)
+                if not 0 <= k < s:
+                    raise IndexError(f"index {k} out of bounds for dim {d}")
+                sel.append((k, k + 1))
+                squeeze.append(d)
+            elif isinstance(k, slice):
+                if k.step not in (None, 1):
+                    raise NotImplementedError("strided writes unsupported")
+                start, stop, _ = k.indices(s)
+                sel.append((start, max(stop, start)))
+            else:
+                raise NotImplementedError(
+                    f"unsupported write index {type(k).__name__}"
                 )
-                part = value[view_sl]
-                if part.shape != self.chunks:  # pad edge chunk
-                    full = self._fill_chunk()
-                    full[tuple(slice(0, s) for s in part.shape)] = part
-                    part = full
-                self._write_chunk(cidx, part)
-        else:
-            raise NotImplementedError("only full-array writes are supported")
+        return sel, squeeze
+
+    def __setitem__(self, key, value) -> None:
+        """Region writes on any basic-index selection: chunks fully covered by
+        the region are written directly; partially covered chunks are
+        read-modified-written. This is what makes chunk-incremental
+        conversion/recording of larger-than-RAM stores possible (reference
+        behavior: zarr-python writers in
+        robomimic_replay_image_dataset.py:262-380)."""
+        sel, squeeze = self._normalize_write_key(key)
+        sel_shape = tuple(stop - start for start, stop in sel)
+        value = np.asarray(value, dtype=self.dtype)
+        vshape = tuple(
+            s for d, s in enumerate(sel_shape) if d not in squeeze
+        )
+        value = np.broadcast_to(value, vshape).reshape(sel_shape)
+        if 0 in sel_shape:
+            return
+        first = [start // c for (start, _), c in zip(sel, self.chunks)]
+        last = [
+            (stop - 1) // c for (start, stop), c in zip(sel, self.chunks)
+        ]
+        for cidx in np.ndindex(*[l - f + 1 for f, l in zip(first, last)]):
+            cidx = tuple(f + i for f, i in zip(first, cidx))
+            src, dst, covered = [], [], True
+            for d, ((start, stop), c, s) in enumerate(
+                zip(sel, self.chunks, self.shape)
+            ):
+                c0 = cidx[d] * c
+                c1 = min(c0 + c, s)
+                s0, s1 = max(start, c0), min(stop, c1)
+                dst.append(slice(s0 - c0, s1 - c0))
+                src.append(slice(s0 - start, s1 - start))
+                if s0 > c0 or s1 < c1:
+                    covered = False
+            if covered:
+                # whole live extent of the chunk covered: no read needed
+                chunk = self._fill_chunk()
+            else:
+                chunk = self._read_chunk(cidx).copy()
+            chunk[tuple(dst)] = value[tuple(src)]
+            self._write_chunk(cidx, chunk)
+
+    def resize(self, *new_shape) -> None:
+        """Grow/shrink the array (zarr-python ``Array.resize`` semantics):
+        metadata-only — new regions read as fill_value; shrunk regions become
+        unreachable. Chunk grids must be rewritable, so zip stores (append
+        -only) refuse."""
+        if isinstance(self.store, ZipStore):
+            raise NotImplementedError("resize on append-only zip stores")
+        if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
+            new_shape = tuple(new_shape[0])
+        new_shape = tuple(int(s) for s in new_shape)
+        if len(new_shape) != self.ndim:
+            raise ValueError(f"resize must keep ndim={self.ndim}")
+        meta = json.loads(self.store.get(_norm_path(self.path, ".zarray")))
+        meta["shape"] = list(new_shape)
+        self.store.set(
+            _norm_path(self.path, ".zarray"), json.dumps(meta).encode()
+        )
+        self.shape = new_shape
+        with self._lock:
+            self._cache.clear()
+
+    def append(self, value: np.ndarray, axis: int = 0) -> None:
+        """Extend along ``axis`` and write the new region (streaming episode
+        recording)."""
+        value = np.asarray(value, dtype=self.dtype)
+        old = self.shape[axis]
+        new_shape = list(self.shape)
+        new_shape[axis] += value.shape[axis]
+        self.resize(new_shape)
+        key = [slice(None)] * self.ndim
+        key[axis] = slice(old, new_shape[axis])
+        self[tuple(key)] = value
 
     def _write_chunk(self, cidx: Tuple[int, ...], chunk: np.ndarray) -> None:
         chunk = np.ascontiguousarray(chunk)
