@@ -183,8 +183,11 @@ def _point_in_poly(p: np.ndarray, verts: np.ndarray) -> bool:
     return True
 
 
-def collide_circle_poly(circle: CircleShape, poly: PolyShape) -> List[Contact]:
-    verts = poly.world_vertices()
+def collide_circle_poly(
+    circle: CircleShape, poly: PolyShape, verts: Optional[np.ndarray] = None
+) -> List[Contact]:
+    if verts is None:
+        verts = poly.world_vertices()
     c = circle.body.position
     if _point_in_poly(c, verts):
         # center inside: push out along least-penetration edge normal
@@ -237,23 +240,65 @@ def collide_circle_poly(circle: CircleShape, poly: PolyShape) -> List[Contact]:
     ]
 
 
-def collide_poly_segment(poly: PolyShape, seg: SegmentShape) -> List[Contact]:
-    verts = poly.world_vertices()
+def collide_poly_segment(
+    poly: PolyShape,
+    seg: SegmentShape,
+    verts: Optional[np.ndarray] = None,
+    com: Optional[np.ndarray] = None,
+) -> List[Contact]:
+    if verts is None:
+        verts = poly.world_vertices()
+    if com is None:
+        com = poly.body.cog_world
     contacts = []
+    # scalar math throughout: this is the hottest function in the simulator
+    # (8 calls/substep); numpy small-array overhead triples the step cost
+    ax, ay = float(seg.a[0]), float(seg.a[1])
+    bx, by = float(seg.b[0]), float(seg.b[1])
+    abx, aby = bx - ax, by - ay
+    ab2 = max(abx * abx + aby * aby, 1e-12)
+    comx, comy = float(com[0]), float(com[1])
+    radius = seg.radius
+    fr = poly.friction * seg.friction
     for v in verts:
-        q = _closest_point_on_segment(v, seg.a, seg.b)
-        delta = v - q
-        d = float(np.linalg.norm(delta))
-        if d < seg.radius:
-            n = delta / (d + 1e-12)
+        vx, vy = float(v[0]), float(v[1])
+        t = ((vx - ax) * abx + (vy - ay) * aby) / ab2
+        t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+        qx, qy = ax + t * abx, ay + t * aby
+        dx, dy = vx - qx, vy - qy
+        d = (dx * dx + dy * dy) ** 0.5
+        # Side-aware contact: the contact normal points toward the side the
+        # body's COM is on, and a vertex that crossed the segment line still
+        # registers (signed penetration). Without this a fast push tunnels
+        # the block through the arena walls — pymunk (the reference engine,
+        # env/pusht/pusht_env.py:380-390) resolves these crossed contacts.
+        sx, sy = comx - qx, comy - qy
+        sn = (sx * sx + sy * sy) ** 0.5
+        if sn > 1e-9:
+            nx, ny = sx / sn, sy / sn
+            signed = dx * nx + dy * ny
+            if signed < radius and sn > radius:
+                contacts.append(
+                    Contact(
+                        body_a=poly.body,
+                        body_b=None,
+                        point=np.array([vx, vy]),
+                        normal=np.array([nx, ny]),
+                        penetration=radius - signed,
+                        friction=fr,
+                    )
+                )
+                continue
+        if d < radius:
+            inv = 1.0 / (d + 1e-12)
             contacts.append(
                 Contact(
                     body_a=poly.body,
                     body_b=None,
-                    point=v,
-                    normal=n,
-                    penetration=seg.radius - d,
-                    friction=poly.friction * seg.friction,
+                    point=np.array([vx, vy]),
+                    normal=np.array([dx * inv, dy * inv]),
+                    penetration=radius - d,
+                    friction=fr,
                 )
             )
     # keep the two deepest contacts (manifold cap, as physics engines do)
@@ -305,66 +350,127 @@ class Space:
                 b.velocity = b.velocity * factor
                 b.angular_velocity *= factor
 
-        # contacts
+        # contacts (world vertices / COG computed once per poly per substep)
         contacts: List[Contact] = []
+        poly_geo = [
+            (poly, poly.world_vertices(), poly.body.cog_world)
+            for poly in self.polys
+        ]
         for circ in self.circles:
-            for poly in self.polys:
-                contacts += collide_circle_poly(circ, poly)
+            for poly, verts, _com in poly_geo:
+                contacts += collide_circle_poly(circ, poly, verts)
             if not circ.body.kinematic:
                 for seg in self.segments:
                     contacts += collide_circle_segment(circ, seg)
-        for poly in self.polys:
+        for poly, verts, com in poly_geo:
+            # bbox prefilter: a vertex can only contact a segment when it is
+            # within seg.radius of it (or crossed it) — exact rejection
+            vx_min, vy_min = verts.min(axis=0)
+            vx_max, vy_max = verts.max(axis=0)
             for seg in self.segments:
-                contacts += collide_poly_segment(poly, seg)
+                r = seg.radius
+                sx0, sx1 = (seg.a[0], seg.b[0]) if seg.a[0] <= seg.b[0] else (seg.b[0], seg.a[0])
+                sy0, sy1 = (seg.a[1], seg.b[1]) if seg.a[1] <= seg.b[1] else (seg.b[1], seg.a[1])
+                if (
+                    vx_max < sx0 - r or vx_min > sx1 + r
+                    or vy_max < sy0 - r or vy_min > sy1 + r
+                ):
+                    continue
+                contacts += collide_poly_segment(poly, seg, verts, com)
         self.n_contact_points += len(contacts)
 
-        # sequential impulse solver with Baumgarte bias
-        for _ in range(self.iterations):
-            for c in contacts:
-                a, b = c.body_a, c.body_b
-                v_rel = a.velocity_at(c.point)
-                if b is not None:
-                    v_rel = v_rel - b.velocity_at(c.point)
-                vn = float(np.dot(v_rel, c.normal))
-                bias = (
-                    self.baumgarte
-                    / dt
-                    * max(0.0, c.penetration - self.collision_slop)
-                )
-                ra = c.point - a.cog_world
-                kn = a.inv_mass + (np.cross(ra, c.normal) ** 2) * a.inv_moment
-                if b is not None:
-                    rb = c.point - b.cog_world
-                    kn += b.inv_mass + (np.cross(rb, c.normal) ** 2) * b.inv_moment
-                if kn <= 0:
-                    continue
-                jn = -(vn - bias) / kn
-                jn_new = max(c.jn_acc + jn, 0.0)
-                jn = jn_new - c.jn_acc
-                c.jn_acc = jn_new
-                a.apply_impulse(jn * c.normal, c.point)
-                if b is not None:
-                    b.apply_impulse(-jn * c.normal, c.point)
+        # sequential impulse solver with Baumgarte bias. Per-contact
+        # quantities that do not change across iterations (lever arms,
+        # effective masses, bias) are precomputed; the iteration loop is
+        # pure scalar float math (identical IEEE ops to the numpy version,
+        # ~5x faster at these tiny sizes).
+        slop = self.collision_slop
+        bg_dt = self.baumgarte / dt
+        solve = []
+        for c in contacts:
+            a, b = c.body_a, c.body_b
+            nx, ny = float(c.normal[0]), float(c.normal[1])
+            px, py = float(c.point[0]), float(c.point[1])
+            acog = a.cog_world
+            rax, ray = px - float(acog[0]), py - float(acog[1])
+            cross_an = rax * ny - ray * nx
+            kn = a.inv_mass + cross_an * cross_an * a.inv_moment
+            cross_at = rax * nx + ray * ny  # cross(ra, t), t = (-ny, nx)
+            kt = a.inv_mass + cross_at * cross_at * a.inv_moment
+            rbx = rby = 0.0
+            if b is not None:
+                bcog = b.cog_world
+                rbx, rby = px - float(bcog[0]), py - float(bcog[1])
+                cross_bn = rbx * ny - rby * nx
+                kn += b.inv_mass + cross_bn * cross_bn * b.inv_moment
+                cross_bt = rbx * nx + rby * ny
+                kt += b.inv_mass + cross_bt * cross_bt * b.inv_moment
+            bias = bg_dt * max(0.0, c.penetration - slop)
+            solve.append((c, a, b, nx, ny, rax, ray, rbx, rby, kn, kt, bias))
 
-                if c.friction > 0.0:
-                    t = np.array([-c.normal[1], c.normal[0]])
-                    v_rel = a.velocity_at(c.point)
+        for _ in range(self.iterations):
+            for c, a, b, nx, ny, rax, ray, rbx, rby, kn, kt, bias in solve:
+                av, bw = a.velocity, a.angular_velocity
+                vx = float(av[0]) - bw * ray
+                vy = float(av[1]) + bw * rax
+                if b is not None:
+                    bv, bbw = b.velocity, b.angular_velocity
+                    vx -= float(bv[0]) - bbw * rby
+                    vy -= float(bv[1]) + bbw * rbx
+                vn = vx * nx + vy * ny
+                if kn > 0:
+                    jn = -(vn - bias) / kn
+                    jn_new = max(c.jn_acc + jn, 0.0)
+                    jn = jn_new - c.jn_acc
+                    c.jn_acc = jn_new
+                    if not (a.kinematic or a.static):
+                        im = a.inv_mass
+                        a.velocity[0] += jn * nx * im
+                        a.velocity[1] += jn * ny * im
+                        a.angular_velocity += (
+                            (rax * jn * ny - ray * jn * nx) * a.inv_moment
+                        )
+                    if b is not None and not (b.kinematic or b.static):
+                        im = b.inv_mass
+                        b.velocity[0] -= jn * nx * im
+                        b.velocity[1] -= jn * ny * im
+                        b.angular_velocity -= (
+                            (rbx * jn * ny - rby * jn * nx) * b.inv_moment
+                        )
+
+                if c.friction > 0.0 and kt > 0:
+                    tx, ty = -ny, nx
+                    av, bw = a.velocity, a.angular_velocity
+                    vx = float(av[0]) - bw * ray
+                    vy = float(av[1]) + bw * rax
                     if b is not None:
-                        v_rel = v_rel - b.velocity_at(c.point)
-                    vt = float(np.dot(v_rel, t))
-                    kt = a.inv_mass + (np.cross(ra, t) ** 2) * a.inv_moment
-                    if b is not None:
-                        kt += b.inv_mass + (np.cross(rb, t) ** 2) * b.inv_moment
-                    if kt <= 0:
-                        continue
+                        bv, bbw = b.velocity, b.angular_velocity
+                        vx -= float(bv[0]) - bbw * rby
+                        vy -= float(bv[1]) + bbw * rbx
+                    vt = vx * tx + vy * ty
                     jt = -vt / kt
                     max_f = c.friction * c.jn_acc
-                    jt_new = float(np.clip(c.jt_acc + jt, -max_f, max_f))
+                    jt_new = c.jt_acc + jt
+                    if jt_new < -max_f:
+                        jt_new = -max_f
+                    elif jt_new > max_f:
+                        jt_new = max_f
                     jt = jt_new - c.jt_acc
                     c.jt_acc = jt_new
-                    a.apply_impulse(jt * t, c.point)
-                    if b is not None:
-                        b.apply_impulse(-jt * t, c.point)
+                    if not (a.kinematic or a.static):
+                        im = a.inv_mass
+                        a.velocity[0] += jt * tx * im
+                        a.velocity[1] += jt * ty * im
+                        a.angular_velocity += (
+                            (rax * jt * ty - ray * jt * tx) * a.inv_moment
+                        )
+                    if b is not None and not (b.kinematic or b.static):
+                        im = b.inv_mass
+                        b.velocity[0] -= jt * tx * im
+                        b.velocity[1] -= jt * ty * im
+                        b.angular_velocity -= (
+                            (rbx * jt * ty - rby * jt * tx) * b.inv_moment
+                        )
 
         for b in self.bodies:
             b.integrate(dt)

@@ -247,6 +247,39 @@ class PushTEnv:
         self.block.angular_velocity = 0.0
         self.space.step(1.0 / self.sim_hz)
 
+    def get_phys_state(self):
+        """Snapshot the full dynamic state (for planners / MPC rollouts)."""
+        return (
+            self.agent.position.copy(),
+            self.agent.velocity.copy(),
+            self.block.position.copy(),
+            float(self.block.angle),
+            self.block.velocity.copy(),
+            float(self.block.angular_velocity),
+        )
+
+    def set_phys_state(self, s) -> None:
+        self.agent.position = s[0].copy()
+        self.agent.velocity = s[1].copy()
+        self.block.position = s[2].copy()
+        self.block.angle = s[3]
+        self.block.velocity = s[4].copy()
+        self.block.angular_velocity = s[5]
+
+    def step_dynamics(self, action) -> None:
+        """One control step of pure dynamics — no reward/coverage/termination
+        bookkeeping. Used by planner rollouts (pusht_expert MPC) where the
+        coverage polygon clipping would dominate the rollout cost."""
+        dt = 1.0 / self.sim_hz
+        n_steps = self.sim_hz // self.control_hz
+        action = np.asarray(action, dtype=np.float64)
+        for _ in range(n_steps):
+            acceleration = self.k_p * (action - self.agent.position) + self.k_v * (
+                -self.agent.velocity
+            )
+            self.agent.velocity = self.agent.velocity + acceleration * dt
+            self.space.step(dt)
+
     def step(self, action):
         dt = 1.0 / self.sim_hz
         self.space.n_contact_points = 0

@@ -242,6 +242,22 @@ class UnifiedVideoActionPolicy:
         return params
 
     def _load_vae_ckpt(self, path, init_tree):
+        if path.endswith(".npz"):
+            # native flax params saved by scripts/train_vae.py (flattened
+            # "a/b/c" keys); the torch path below covers the reference's
+            # kl16.ckpt (vae/vaekl.py:472-485)
+            flat = dict(np.load(path))
+            imported: dict = {}
+            for k, v in flat.items():
+                node = imported
+                parts = k.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = v
+            merged, skipped = torch_import.merge_params(init_tree, imported)
+            if skipped:
+                print(f"[vae import] skipped {len(skipped)} leaves: {skipped[:5]}")
+            return jax.tree.map(jnp.asarray, merged)
         sd = torch_import.load_torch_checkpoint(path)
         sd = sd.get("model", sd)
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
