@@ -35,6 +35,28 @@ ARTIFACTS: Dict[str, Dict[str, str]] = {
         "url": "gdown:1fBNl3TS0LA5FEhZv5nMGJs2_7qQmvTmh",
         "note": "Kinetics-400 I3D for FVD",
     },
+    # Task checkpoints from the reference release (README.md:30-34,100-103);
+    # gdown ids extracted from the google-drive share links.
+    "pusht_ckpt": {
+        "path": "checkpoints/pusht.ckpt",
+        "url": "gdown:1OduHcxfc2hqUYSccMQNf9g-vAt-q2UhF",
+        "note": "UVA PushT task checkpoint (dill torch payload)",
+    },
+    "pusht_multitask_ckpt": {
+        "path": "checkpoints/pusht_multitask.ckpt",
+        "url": "gdown:1ZppZJyQdEdjhu8TIt4ddyaWy_mSdjoAZ",
+        "note": "UVA PushT-M multitask checkpoint",
+    },
+    "libero10_ckpt": {
+        "path": "checkpoints/libero10.ckpt",
+        "url": "gdown:11c2VrmaRp48yw__5A5xpcu8EPzkexHSi",
+        "note": "UVA Libero10 checkpoint",
+    },
+    "umi_multitask_ckpt": {
+        "path": "checkpoints/umi_multitask.ckpt",
+        "url": "gdown:1rUWtpXReULf8h42P80Go7GeTiZs3irFS",
+        "note": "UVA UMI multitask checkpoint",
+    },
 }
 
 
