@@ -84,6 +84,7 @@ class PushTImageDataset:
         self.pad_before = pad_before
         self.pad_after = pad_after
         self.data_aug = data_aug
+        self.device_aug = bool(kwargs.get("device_aug", True))
         self.normalizer_type = normalizer_type
         self.seed = seed
 
@@ -120,9 +121,16 @@ class PushTImageDataset:
     def __getitem__(self, idx: int) -> Dict:
         sample = self.sampler.sample_sequence(idx)
         agent_pos = sample["state"][:, : self.agent_pos_dim].astype(np.float32)
-        image = np.moveaxis(sample["img"], -1, 1).astype(np.float32) / 255.0
+        # images stay native uint8 through collate + H2D (4x narrower than
+        # float32, no host-side divide); every device consumer normalizes via
+        # image_util.to_unit_float
+        image = np.ascontiguousarray(np.moveaxis(sample["img"], -1, 1))
 
-        if self.data_aug:
+        # data_aug is applied ON DEVICE inside the train step (the workspace
+        # draws per-sample crop/blur params and compute_loss applies
+        # image_util.augment_video) — see device_aug; the cv2 path below is
+        # kept for hosts that prefer CPU aug (device_aug=False)
+        if self.data_aug and not self.device_aug:
             image = self._augment(image, idx)
 
         return {

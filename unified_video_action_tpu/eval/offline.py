@@ -56,7 +56,7 @@ def test_video_fvd(
     for bi, batch in enumerate(val_batches):
         if bi >= num_batches:
             break
-        image = jnp.asarray(batch["obs"]["image"])
+        image = image_util.to_unit_float(jnp.asarray(batch["obs"]["image"]))
         image = image_util.resize_video(image, c.img_size)
         T = image.shape[1]
         idx = frame_util.select_frame_indices(T, eval=False)
@@ -159,9 +159,10 @@ def _write_keypoint_overlay(
     H, W = frames.shape[-2:]
     out = []
     for t in range(T):
-        img = np.ascontiguousarray(
-            np.moveaxis(np.asarray(frames[t]), 0, -1) * 255.0
-        ).astype(np.uint8).copy()
+        fr = np.moveaxis(np.asarray(frames[t]), 0, -1)
+        if fr.dtype != np.uint8:
+            fr = (fr * 255.0).astype(np.uint8)
+        img = np.ascontiguousarray(fr).copy()
         for kp, color in ((gt_actions[t], (0, 255, 0)),
                           (pred_actions[t], (255, 0, 0))):
             pts = np.asarray(kp, np.float64).reshape(-1, 2) / scale

@@ -268,6 +268,24 @@ class UnifiedVideoActionPolicy:
         return jax.tree.map(jnp.asarray, merged)
 
     def _load_mar_ckpt(self, path, init_tree):
+        if os.path.isdir(path):
+            # native orbax checkpoint dir (stage-1 -> stage-2 bootstrap: the
+            # reference loads its stage-1 latest.ckpt the same way,
+            # policy/unified_video_action_policy.py:140-218). EMA weights
+            # preferred, size-matched partial merge (stage-2 adds the action
+            # head, absent in a video-only stage-1 tree).
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.join(os.path.abspath(path), "state")
+            )
+            src = restored.get("ema_params") or restored["mar_params"]
+            merged, skipped = torch_import.merge_params(init_tree, src)
+            print(
+                f"[mar import] stage bootstrap from {path}: "
+                f"{len(skipped)} new/mismatched leaves kept at init"
+            )
+            return jax.tree.map(jnp.asarray, merged)
         ckpt = torch_import.load_torch_checkpoint(path)
         if "state_dicts" in ckpt:  # framework/reference checkpoint
             sd = {
@@ -584,16 +602,22 @@ class UnifiedVideoActionPolicy:
         key: Array,
         task_mode: str,
         frame_indices: Optional[np.ndarray] = None,
+        pregathered: bool = False,
     ):
         """One task-mode training loss. ``batch``: {"obs": {"image": (B,T,3,H,W)
-        [0,1], ...}, "action": (B,T,A)} already on device.
+        [0,1] float or uint8, ...}, "action": (B,T,A)} already on device.
 
         Frame indices are static per call (host-chosen for
         different_history_freq); VAE encoding is frozen (stop-gradient).
+        ``pregathered=True`` means the workspace already frame-selected the
+        image window host-side (ship 8 frames, not the full horizon — the
+        dominant H2D saving on slow host links); actions still arrive at the
+        full horizon, which is why the trajectory split keys off the action
+        length, not the image length.
         """
         c = self.mar_cfg
         obs = image_util.remap_image_keys(self.task_name, dict(batch["obs"]))
-        image = obs["image"]
+        image = image_util.to_unit_float(obs["image"])
         B, T = image.shape[:2]
 
         actions = batch["action"]
@@ -604,7 +628,7 @@ class UnifiedVideoActionPolicy:
         # umi lazy datasets gather their (possibly per-sample random-history)
         # 8 frames host-side and ship img_indices instead (reference
         # data_utils.py:214-219); everything else frame-selects here
-        pregathered = "img_indices" in obs
+        pregathered = pregathered or ("img_indices" in obs)
         if frame_indices is None:
             frame_indices = (
                 np.arange(T) if pregathered
@@ -612,6 +636,13 @@ class UnifiedVideoActionPolicy:
             )
         # select the 8 training frames BEFORE the 256x256 resize (4x less work)
         sel = image if pregathered else image[:, jnp.asarray(frame_indices)]
+        if "aug_top" in obs:
+            # device-side train augmentation (host draws the params; the
+            # reference does this with cv2 on the loader host,
+            # pusht_image_dataset.py:93-130)
+            sel = image_util.augment_video(
+                sel, obs["aug_top"], obs["aug_left"], obs["aug_sigma"]
+            )
         frames = image_util.resize_video(sel, c.img_size)
         frames = image_util.to_model_range(frames)
 
@@ -626,8 +657,10 @@ class UnifiedVideoActionPolicy:
             self._encode_frames(params["vae"], target_frames, k_vae2)
         )
 
+        # split on the ACTION horizon: == image T when frames arrive unselected,
+        # still the full window when the workspace pre-gathered frames host-side
         history, future = frame_util.split_trajectory(
-            actions, T, self.shift_action, self.use_history_action
+            actions, actions.shape[1], self.shift_action, self.use_history_action
         )
 
         proprio, proprio_target = self._build_proprio_train(

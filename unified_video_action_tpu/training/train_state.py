@@ -65,13 +65,14 @@ def make_train_step(
 
     cache: Dict[Tuple, Callable] = {}
 
-    def build(task_mode: str, n_indices: int):
+    def build(task_mode: str, n_indices: int, pregathered: bool = False):
         def step_fn(state: TrainState, batch, key, frame_indices):
             def loss_fn(mar_params):
                 params = {"mar": mar_params, "vae": state.vae_params}
                 loss, (vl, al) = policy.compute_loss(
                     params, batch, key, task_mode,
                     frame_indices=frame_indices,
+                    pregathered=pregathered,
                 )
                 return loss, (vl, al)
 
@@ -101,12 +102,13 @@ def make_train_step(
             kwargs["donate_argnums"] = (0,)
         return jax.jit(step_fn, **kwargs)
 
-    def train_step(state, batch, key, task_mode, frame_indices):
+    def train_step(state, batch, key, task_mode, frame_indices,
+                   pregathered=False):
         # frame indices are a TRACED argument (one program per task mode, not
         # one per index combination — different_history_freq draws a fresh
         # random history set every batch, utils/data_utils.py:140-158)
         idx = jnp.asarray(frame_indices, dtype=jnp.int32)
-        k = (task_mode, int(idx.shape[0]))
+        k = (task_mode, int(idx.shape[0]), bool(pregathered))
         if k not in cache:
             cache[k] = build(*k)
         return cache[k](state, batch, key, idx)

@@ -214,27 +214,70 @@ class TrainWorkspace:
         key = jax.random.PRNGKey(self.seed + 1)
         last_metrics: Dict[str, Any] = {}
 
+        from unified_video_action_tpu.utils import image as image_util
+
+        def prepare(b):
+            """Host-side batch prep, run inside the prefetch pipeline BEFORE
+            the H2D transfer: choose the task mode + frame indices, then ship
+            only the selected image frames (8 of the 16/32-frame horizon) in
+            their native uint8 — the dominant saving on the host link (the
+            full float32 horizon is ~16x wider). Actions and the other obs
+            keys stay full-horizon (compute_loss splits them by their own
+            length / frame_indices)."""
+            task_mode = self.policy.choose_task_mode(self.np_rng)
+            obs = b["obs"]
+            ik = image_util.main_image_key(self.policy.task_name, obs)
+            T = obs[ik].shape[1]
+            # umi stage-2 recipe: a fresh random history-frequency index set
+            # per batch (reference utils/data_utils.py:140-158); the indices
+            # are a traced train_step input, so this does NOT recompile
+            frame_indices = frame_util.select_frame_indices(
+                T, eval=False,
+                different_history_freq=self.policy.different_history_freq,
+                rng=self.np_rng,
+            )
+            pregathered = False
+            if "img_indices" not in obs:  # umi lazy datasets pre-gather
+                b, obs = dict(b), dict(obs)
+                obs[ik] = np.ascontiguousarray(obs[ik][:, frame_indices])
+                b["obs"] = obs
+                pregathered = True
+            if getattr(dataset, "data_aug", False) and getattr(
+                dataset, "device_aug", False
+            ):
+                # device-side aug: host draws 3 scalars/sample, the TPU does
+                # the crop/resize/blur inside the jitted step (the cv2
+                # host path saturates a small host at thousands of per-frame
+                # calls per batch)
+                if not pregathered:
+                    b, obs = dict(b), dict(obs)
+                    b["obs"] = obs
+                B = obs[ik].shape[0]
+                H, W = obs[ik].shape[-2:]
+                m_h = H - int(round(H * 0.95)) + 1
+                m_w = W - int(round(W * 0.95)) + 1
+                obs["aug_top"] = self.np_rng.integers(
+                    0, m_h, B).astype(np.int32)
+                obs["aug_left"] = self.np_rng.integers(
+                    0, m_w, B).astype(np.int32)
+                obs["aug_sigma"] = self.np_rng.uniform(
+                    0.1, 2.0, B).astype(np.float32)
+            return (
+                task_mode, frame_indices, pregathered,
+                mesh_lib.shard_batch(_to_jax_batch(b), mesh),
+            )
+
         while self.epoch < num_epochs and not preempted["flag"]:
             t0 = time.time()
             epoch_losses = []
-            transfer = lambda b: mesh_lib.shard_batch(_to_jax_batch(b), mesh)
-            for i, batch in enumerate(_device_prefetch(iter(loader), transfer)):
+            for i, item in enumerate(_device_prefetch(iter(loader), prepare)):
                 if max_train_steps is not None and i >= max_train_steps:
                     break
-                task_mode = self.policy.choose_task_mode(self.np_rng)
-                T = batch["obs"]["image"].shape[1]
-                # umi stage-2 recipe: a fresh random history-frequency index
-                # set per batch (reference utils/data_utils.py:140-158); the
-                # indices are a traced train_step input, so this does NOT
-                # recompile per combination
-                frame_indices = frame_util.select_frame_indices(
-                    T, eval=False,
-                    different_history_freq=self.policy.different_history_freq,
-                    rng=self.np_rng,
-                )
+                task_mode, frame_indices, pregathered, batch = item
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(
-                    state, batch, sub, task_mode, frame_indices
+                    state, batch, sub, task_mode, frame_indices,
+                    pregathered=pregathered,
                 )
                 self.global_step += 1
                 epoch_losses.append(metrics)
