@@ -42,9 +42,13 @@ def main(argv=None):
         if cfg is None:
             cfg = load_config(args.config_name, overrides=args.overrides)
         else:
-            from unified_video_action_tpu.config import Cfg
+            from unified_video_action_tpu.config import Cfg, apply_overrides
 
             cfg = Cfg.wrap(cfg)
+            # CLI overrides still apply on top of the embedded train cfg
+            # (e.g. restoring the full 50-seed test protocol after training
+            # with a trimmed env_runner.n_test)
+            apply_overrides(cfg, args.overrides)
     else:
         cfg = load_config(args.config_name, overrides=args.overrides)
 

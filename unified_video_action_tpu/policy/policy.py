@@ -457,6 +457,35 @@ class UnifiedVideoActionPolicy:
         latents (B, 4, C, h, w); ``n_shift`` = env steps between calls.
         Supports the same modality surface as predict_action (text/proprio/
         wrist/history), so umi/libero/toolhang serving can use it too."""
+        nact, cond = self.predict_action_cached_async(
+            params, obs_dict, key, cache=cache, n_shift=n_shift,
+            language_goal=language_goal,
+        )
+        action_pred = np.asarray(jax.device_get(nact))
+        # cache stays DEVICE-resident: only the small action tensor crosses
+        # the host link; the (B, 4, C, h, w) latents round-trip would cost
+        # more than the VAE encode it saves (PERF.md transfer numbers).
+        return (
+            {
+                "action": action_pred[:, : self.n_action_steps],
+                "action_pred": action_pred,
+            },
+            cond,
+        )
+
+    def predict_action_cached_async(
+        self,
+        params: Dict[str, Any],
+        obs_dict: Dict[str, np.ndarray],
+        key: Array,
+        cache: Optional[np.ndarray] = None,
+        n_shift: int = 8,
+        language_goal: Optional[Any] = None,
+    ):
+        """Dispatch-only half of ``predict_action_cached``: returns the
+        DEVICE-resident (action_pred, new_cache) without syncing, so a
+        multi-stream rollout can step other envs on host while this
+        program runs (runners/pusht_runner.py n_streams)."""
         obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
         image_np = np.asarray(obs_dict["image"])
         if image_np.dtype != np.uint8 and image_np.max() <= 1.0 + 1e-6:
@@ -502,17 +531,7 @@ class UnifiedVideoActionPolicy:
             params, jnp.asarray(image_np[:, new_positions]), cached, key,
             **modalities,
         )
-        action_pred = np.asarray(jax.device_get(nact))
-        # cache stays DEVICE-resident: only the small action tensor crosses
-        # the host link; the (B, 4, C, h, w) latents round-trip would cost
-        # more than the VAE encode it saves (PERF.md transfer numbers).
-        return (
-            {
-                "action": action_pred[:, : self.n_action_steps],
-                "action_pred": action_pred,
-            },
-            cond,
-        )
+        return nact, cond
 
     def _latent_shape(self):
         c = self.mar_cfg
@@ -527,6 +546,24 @@ class UnifiedVideoActionPolicy:
     ) -> Dict[str, np.ndarray]:
         """obs_dict: {"image": (B,T,3,H,W) float [0,1], ...} -> {"action",
         "action_pred"} (reference policy:221-320)."""
+        nact = self.predict_action_async(
+            params, obs_dict, key, language_goal=language_goal
+        )
+        action_pred = np.asarray(jax.device_get(nact))
+        return {
+            "action": action_pred[:, : self.n_action_steps],
+            "action_pred": action_pred,
+        }
+
+    def predict_action_async(
+        self,
+        params: Dict[str, Any],
+        obs_dict: Dict[str, np.ndarray],
+        key: Array,
+        language_goal: Optional[Any] = None,
+    ):
+        """Dispatch-only half of ``predict_action``: returns the DEVICE
+        action tensor without syncing (multi-stream rollout overlap)."""
         obs_dict = image_util.remap_image_keys(self.task_name, dict(obs_dict))
         # host-side frame selection + uint8 transfer: ship ONLY the selected
         # cond frames to the device (the obs stack is 4x larger, and float32
@@ -554,16 +591,11 @@ class UnifiedVideoActionPolicy:
 
         if "predict" not in self._predict_cache:
             self._predict_cache["predict"] = self._build_predict_fn()
-        action_pred = self._predict_cache["predict"](
+        return self._predict_cache["predict"](
             params, image, key,
             text_latents=text_latents, proprio=proprio,
             history_actions=history_actions,
         )
-        action_pred = np.asarray(jax.device_get(action_pred))
-        return {
-            "action": action_pred[:, : self.n_action_steps],
-            "action_pred": action_pred,
-        }
 
     def _build_proprio_eval(self, obs_dict, frame_idx=None):
         if not self.use_proprioception:

@@ -47,9 +47,13 @@ class PushTImageRunner:
         n_envs: Optional[int] = None,
         vector_env: str = "sync",
         latent_cache: bool = False,
+        n_streams: int = 1,
+        chunk_size: Optional[int] = None,
         **kwargs,
     ):
         self.latent_cache = latent_cache
+        self.n_streams = n_streams
+        self.chunk_size = chunk_size
         self.output_dir = output_dir
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
@@ -79,55 +83,122 @@ class PushTImageRunner:
             fns.append(make)
         return fns
 
-    def run(self, policy, params, key=None, chunk_size: Optional[int] = None) -> Dict[str, Any]:
+    def run(
+        self,
+        policy,
+        params,
+        key=None,
+        chunk_size: Optional[int] = None,
+        n_streams: int = 1,
+    ) -> Dict[str, Any]:
+        """Roll out all seeds. With ``n_streams > 1`` (requires a chunk_size
+        that splits the envs into several vector envs), streams are
+        interleaved: while stream A's jitted policy program runs on device,
+        streams B..'s envs step on host — jax async dispatch makes the
+        overlap free (the generalized form of bench.py's two-stream serving
+        pattern; stream-depth wall-clock curve in
+        benchmarks/bench_rollout_streams.py)."""
         key = key if key is not None else jax.random.PRNGKey(0)
+        n_streams = n_streams if n_streams != 1 else self.n_streams
         env_fns = self._make_env_fns()
         n = len(env_fns)
-        chunk_size = chunk_size or n
+        chunk_size = chunk_size or self.chunk_size or (
+            -(-n // n_streams) if n_streams > 1 else n
+        )
         all_rewards = np.zeros(n)
 
-        for start in range(0, n, chunk_size):
-            fns = env_fns[start : start + chunk_size]
-            venv = (
-                AsyncVectorEnv(fns)
-                if self.vector_env == "async"
-                else SyncVectorEnv(fns)
-            )
-            try:
-                obs = venv.reset()
-                done = np.zeros(len(fns), dtype=bool)
-                max_reward = np.zeros(len(fns))
-                steps = 0
-                cache = None
-                while not done.all() and steps < self.max_steps:
-                    obs_dict = {
-                        "image": obs["image"].astype(np.float32),
-                        "agent_pos": obs["agent_pos"].astype(np.float32),
-                    }
-                    key, sub = jax.random.split(key)
-                    if self.latent_cache:
-                        # reuse VAE latents for the cond frames that repeat as
-                        # the obs window slides by n_action_steps
-                        result, cache = policy.predict_action_cached(
-                            params, obs_dict, sub, cache=cache,
-                            n_shift=self.n_action_steps,
-                        )
-                    else:
-                        result = policy.predict_action(params, obs_dict, sub)
-                    action = np.asarray(result["action"])
-                    obs, rewards, dones, infos = venv.step(action)
-                    max_reward = np.maximum(max_reward, rewards)
-                    done |= dones
-                    steps += self.n_action_steps
-                all_rewards[start : start + len(fns)] = max_reward
-            finally:
-                venv.close()
+        chunks = [
+            (start, env_fns[start : start + chunk_size])
+            for start in range(0, n, chunk_size)
+        ]
+        for g in range(0, len(chunks), max(n_streams, 1)):
+            group = chunks[g : g + max(n_streams, 1)]
+            key = self._run_streams(policy, params, key, group, all_rewards)
 
         log: Dict[str, Any] = {}
-        groups = collections.defaultdict(list)
+        score_groups = collections.defaultdict(list)
         for prefix, seed, r in zip(self.prefixes, self.seeds, all_rewards):
-            groups[prefix].append(r)
+            score_groups[prefix].append(r)
             log[f"{prefix}sim_max_reward_{seed}"] = float(r)
-        for prefix, rs in groups.items():
+        for prefix, rs in score_groups.items():
             log[f"{prefix}mean_score"] = float(np.mean(rs))
         return log
+
+    def _run_streams(self, policy, params, key, group, all_rewards):
+        """Interleaved rollout of one group of (start, env_fns) chunks."""
+        streams = []
+        try:
+            for start, fns in group:
+                venv = (
+                    AsyncVectorEnv(fns)
+                    if self.vector_env == "async"
+                    else SyncVectorEnv(fns)
+                )
+                streams.append({
+                    "start": start,
+                    "venv": venv,
+                    "obs": venv.reset(),
+                    "done": np.zeros(len(fns), dtype=bool),
+                    "max_reward": np.zeros(len(fns)),
+                    "steps": 0,
+                    "cache": None,
+                    "pending": None,
+                })
+
+            def dispatch(s, key):
+                obs_dict = {
+                    "image": s["obs"]["image"].astype(np.float32),
+                    "agent_pos": s["obs"]["agent_pos"].astype(np.float32),
+                }
+                key, sub = jax.random.split(key)
+                if self.latent_cache:
+                    # reuse VAE latents for the cond frames that repeat as
+                    # the obs window slides by n_action_steps
+                    s["pending"], s["cache"] = (
+                        policy.predict_action_cached_async(
+                            params, obs_dict, sub, cache=s["cache"],
+                            n_shift=self.n_action_steps,
+                        )
+                    )
+                else:
+                    s["pending"] = policy.predict_action_async(
+                        params, obs_dict, sub
+                    )
+                return key
+
+            def finished(s):
+                return s["done"].all() or s["steps"] >= self.max_steps
+
+            for s in streams:  # fill the pipeline
+                key = dispatch(s, key)
+            while not all(finished(s) for s in streams):
+                for s in streams:
+                    if s["pending"] is None:
+                        continue
+                    nact = np.asarray(jax.device_get(s["pending"]))
+                    s["pending"] = None
+                    action = nact[:, : self.n_action_steps]
+                    obs, rewards, dones, _ = s["venv"].step(action)
+                    s["obs"] = obs
+                    s["max_reward"] = np.maximum(s["max_reward"], rewards)
+                    s["done"] |= dones
+                    s["steps"] += self.n_action_steps
+                    if not finished(s):
+                        key = dispatch(s, key)
+                for s in streams:
+                    if finished(s) and s["venv"] is not None:
+                        all_rewards[
+                            s["start"] : s["start"] + len(s["max_reward"])
+                        ] = s["max_reward"]
+                        s["venv"].close()
+                        s["venv"] = None
+            for s in streams:
+                if s["venv"] is not None:
+                    all_rewards[
+                        s["start"] : s["start"] + len(s["max_reward"])
+                    ] = s["max_reward"]
+        finally:
+            for s in streams:
+                if s["venv"] is not None:
+                    s["venv"].close()
+        return key

@@ -216,6 +216,59 @@ class TrainWorkspace:
 
         from unified_video_action_tpu.utils import image as image_util
 
+        # device-resident input path: the whole frame store lives in HBM and
+        # the host ships only gather indices per step (data/device_dataset.py)
+        device_data = None
+        if bool(cfg["dataloader"].get("device_resident", False)):
+            from unified_video_action_tpu.data.device_dataset import (
+                DeviceReplayDataset,
+            )
+
+            try:
+                device_data = DeviceReplayDataset(dataset)
+                print(
+                    f"[device_data] {device_data.nbytes/1e9:.2f} GB resident "
+                    f"({len(device_data)} samples)"
+                )
+            except Exception as e:
+                print(f"[device_data] falling back to host loader: {e}")
+
+        def _draw_aug(B, H, W):
+            m_h = H - int(round(H * 0.95)) + 1
+            m_w = W - int(round(W * 0.95)) + 1
+            return {
+                "aug_top": self.np_rng.integers(0, m_h, B).astype(np.int32),
+                "aug_left": self.np_rng.integers(0, m_w, B).astype(np.int32),
+                "aug_sigma": self.np_rng.uniform(0.1, 2.0, B).astype(
+                    np.float32
+                ),
+            }
+
+        def device_batches():
+            """Index-only epoch iterator over the device-resident store;
+            mirrors the host DataLoader's shuffle semantics (seeded per
+            epoch, drop_last)."""
+            order = np.arange(len(device_data))
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+            H, W = device_data.img.shape[1:3]
+            for s in range(len(order) // batch_size):
+                idxs = order[s * batch_size : (s + 1) * batch_size]
+                task_mode = self.policy.choose_task_mode(self.np_rng)
+                frame_indices = frame_util.select_frame_indices(
+                    device_data.horizon, eval=False,
+                    different_history_freq=self.policy.different_history_freq,
+                    rng=self.np_rng,
+                )
+                aug = (
+                    _draw_aug(batch_size, H, W)
+                    if device_data.data_aug else None
+                )
+                yield (
+                    task_mode, frame_indices, True,
+                    device_data.gather(idxs, frame_indices, aug, mesh),
+                )
+
         def prepare(b):
             """Host-side batch prep, run inside the prefetch pipeline BEFORE
             the H2D transfer: choose the task mode + frame indices, then ship
@@ -252,16 +305,8 @@ class TrainWorkspace:
                 if not pregathered:
                     b, obs = dict(b), dict(obs)
                     b["obs"] = obs
-                B = obs[ik].shape[0]
                 H, W = obs[ik].shape[-2:]
-                m_h = H - int(round(H * 0.95)) + 1
-                m_w = W - int(round(W * 0.95)) + 1
-                obs["aug_top"] = self.np_rng.integers(
-                    0, m_h, B).astype(np.int32)
-                obs["aug_left"] = self.np_rng.integers(
-                    0, m_w, B).astype(np.int32)
-                obs["aug_sigma"] = self.np_rng.uniform(
-                    0.1, 2.0, B).astype(np.float32)
+                obs.update(_draw_aug(obs[ik].shape[0], H, W))
             return (
                 task_mode, frame_indices, pregathered,
                 mesh_lib.shard_batch(_to_jax_batch(b), mesh),
@@ -270,7 +315,11 @@ class TrainWorkspace:
         while self.epoch < num_epochs and not preempted["flag"]:
             t0 = time.time()
             epoch_losses = []
-            for i, item in enumerate(_device_prefetch(iter(loader), prepare)):
+            it = (
+                device_batches() if device_data is not None
+                else _device_prefetch(iter(loader), prepare)
+            )
+            for i, item in enumerate(it):
                 if max_train_steps is not None and i >= max_train_steps:
                     break
                 task_mode, frame_indices, pregathered, batch = item
@@ -281,6 +330,16 @@ class TrainWorkspace:
                 )
                 self.global_step += 1
                 epoch_losses.append(metrics)
+                if (i % 200) == 0:
+                    # previous step's metrics are already materialized, so
+                    # this fetch doesn't stall the pipeline
+                    prev = jax.device_get(epoch_losses[max(len(epoch_losses) - 2, 0)])
+                    print(
+                        f"[epoch {self.epoch}] step {i}/{steps_per_epoch} "
+                        f"loss={float(prev['train_loss']):.4f} "
+                        f"t={time.time() - t0:.0f}s",
+                        flush=True,
+                    )
                 if preempted["flag"]:
                     break
 
