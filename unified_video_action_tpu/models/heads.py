@@ -91,6 +91,19 @@ class VideoDiffusionHead(nn.Module):
         )
 
 
+def _adaptive_pool_matrix(W: int, out: int) -> "np.ndarray":
+    """(out, W) row-stochastic matrix implementing torch AdaptiveAvgPool1d
+    windows along one axis."""
+    import numpy as np
+
+    P = np.zeros((out, W), np.float32)
+    for i in range(out):
+        a = (i * W) // out
+        b = -(-((i + 1) * W) // out)
+        P[i, a:b] = 1.0 / (b - a)
+    return P
+
+
 class ConvFcPool(nn.Module):
     """``conv_fc`` token pooling: (B, T·S, D) decoder tokens -> (B, 16, D)
     action-slot latents (diffusion_action_loss.py:35-61,112-124)."""
@@ -110,10 +123,13 @@ class ConvFcPool(nn.Module):
         z = z.reshape(B * T, W, W, D)  # NHWC, spatial (w, h) row-major
         z = nn.Conv(D, (3, 3), padding=1, dtype=self.dtype, name="conv")(z)
         z = nn.relu(z)
-        # adaptive avg pool to 4x4 (reference AdaptiveAvgPool2d((4,4)))
-        assert W % 4 == 0, W
-        k = W // 4
-        z = nn.avg_pool(z, (k, k), strides=(k, k))
+        # adaptive avg pool to 4x4 (reference AdaptiveAvgPool2d((4,4))): true
+        # torch semantics for ANY grid width — window i spans
+        # [floor(iW/4), ceil((i+1)W/4)), overlapping when W % 4 != 0 (e.g.
+        # the 6x6 grid of the 96px single-chip config) and reducing to the
+        # plain strided mean when W % 4 == 0 (256px/16 -> 16x16)
+        P = jnp.asarray(_adaptive_pool_matrix(W, 4), dtype=z.dtype)
+        z = jnp.einsum("iw,bwhd,jh->bijd", P, z, P)
         # flatten in torch (c, w, h) order to keep fc weights compatible
         z = jnp.transpose(z, (0, 3, 1, 2)).reshape(B * T, D * 16)
         z = nn.Dense(D, dtype=self.dtype, name="fc1")(z)

@@ -464,6 +464,15 @@ class TrainWorkspace:
                 normalizer=self.policy.normalizer, epoch=self.epoch,
             )
             print(f"[preempt] checkpoint saved at epoch {self.epoch}; exiting")
+        elif num_epochs > 0 and (num_epochs - 1) % checkpoint_every != 0:
+            # the run's final epoch falls between periodic saves — always
+            # publish it as `latest` (the periodic cadence is a crash-safety
+            # knob, not a statement about which weights matter)
+            cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+            ckpt_lib.save_checkpoint(
+                latest_path, state, cfg=cfg_dict,
+                normalizer=self.policy.normalizer, epoch=self.epoch - 1,
+            )
         for sig, h in prev_handlers.items():
             _signal.signal(sig, h)
         ckpt_lib.wait_for_checkpoints()  # commit any in-flight async save
