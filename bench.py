@@ -1,35 +1,32 @@
 #!/usr/bin/env python
 """Benchmark: PushT policy-mode rollout serving throughput on the real TPU chip.
 
-Measures the reference's headline serving path (BASELINE.md: one MAR
-encoder+decoder pass + 100-step action-diffusion chain, no video decode —
-mar_con_unified.py:1037-1047) as the env runners actually execute it: a
-rollout loop where the 16-frame obs window slides by n_action_steps=8 per
-control step, served through ``predict_action_cached`` — 2 of the 4 selected
-cond frames reuse the previous step's VAE latents, the cache stays
-device-resident, and only uint8 frames go up / the action chunk comes down.
+Two tiers, one JSON line:
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* **parity tier** (the primary ``value`` — comparable across rounds): the
+  reference's headline serving workload exactly as its eval runners execute
+  it (BASELINE.md: mar_base @ 256 px, 1088-token context, one MAR
+  encoder+decoder pass + action-diffusion chain, no video decode —
+  mar_con_unified.py:1037-1047), served through ``predict_action_cached``
+  with a device-resident latent cache, two interleaved streams, H2D inside
+  the timed region.
+* **deployed tier** (``deployed`` sub-object): the trained single-chip
+  flagship (uva_pusht_small: mar_small @ 96 px native, 208-token context —
+  TRAINRUN.md) on its real checkpoint when present. This is the work-shape
+  reduction VERDICT r2 called for: the PushT frames are 96 px at the source,
+  so the reference's 96→256 upscale + 256-token/frame modeling is pure extra
+  work; the quality evidence for the small config is its real
+  ``test_mean_score`` (TRAINRUN.md), not an argument.
 
 vs_baseline: the reference publishes no serving numbers ("published": {} in
-BASELINE.json), so the anchor is a reasoned A100 estimate of the same
-pipeline, from the reference's own structure at the eval runner's batch:
+BASELINE.json); the anchor is a reasoned A100 estimate of the parity-tier
+pipeline (~1.03 TF/chunk at 55-65% realistic utilization → ~150 chunks/s;
+derivation in BENCH history r1/r2).
 
-  per-chunk device work (identical math on both sides)
-    MAR enc+dec: 24 blocks x 1088 ctx x d768  ~ 0.46 TF
-    VAE encode:  4 frames x 256^2 kl16        ~ 0.51 TF
-    100-step action diffusion (6x1024 MLP)    ~ 0.06 TF
-                                              ~ 1.03 TF/chunk
-  A100 bf16 peak 312 TF/s at a realistic 55-65% matmul utilization
-  (the reference's torch pipeline: ~200 host-dispatched kernels per
-  request incl. 100 serial denoiser steps) -> 170-200 TF/s delivered
-  -> 165-195 chunks/s; minus dataloader/H2D stalls ~ 150 chunks/s.
-
-The anchor stays at 150 chunks/s (unchanged from round 1, now derived rather
-than asserted). Note the roofline context in PERF.md: this chip's measured
-dense ceiling is ~117 TF/s, so 150 chunks/s on the A100 corresponds to
-~0.64x that roofline — vs_baseline near or above 1.0 on this part means
-HIGHER utilization than the reference, not more raw silicon.
+Env knobs: UVA_BENCH_TIER=parity|deployed|both (default both),
+UVA_ACT_STEPS (action-diffusion steps, default 100 = the reference's deploy
+value, eval_real.py:79-89; reduced-step quality deltas in TRAINRUN.md),
+UVA_SERVING_QUANT=int8, UVA_BENCH_BATCH, UVA_DEPLOYED_CKPT.
 """
 
 import json
@@ -42,70 +39,93 @@ N_OBS = 16
 N_ACTION_STEPS = 8
 WARMUP = 3
 ITERS = 8
+V5E_BF16_PEAK = 197e12
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-
-    import numpy as np
-
+def build_policy(tier):
     from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
-    policy = UnifiedVideoActionPolicy(
-        shape_meta={"action": {"shape": [2]}},
-        vae_model_params={
-            "autoencoder_path": None,
-            "ddconfig": {"vae_embed_dim": 16, "ch_mult": [1, 1, 2, 2, 4]},
-        },
-        autoregressive_model_params={
+    if tier == "parity":
+        amp = {
             "model_size": "mar_base",
             "img_size": 256,
             "num_sampling_steps": "100",
-            # reduced-step serving: the diffusion lib supports respacing
-            # ("25", "ddim10", ...); quality deltas vs 100 steps are measured
-            # on the trained policy in TRAINRUN.md — default stays at the
-            # reference's deploy value (eval_real.py:79-89)
             "act_diff_testing_steps": os.environ.get("UVA_ACT_STEPS", "100"),
             "temperature": 0.95,
             "pretrained_model_path": None,
-        },
+        }
+        dd = {"vae_embed_dim": 16, "ch_mult": [1, 1, 2, 2, 4]}
+        img_hw = 96  # native obs resolution; the 96->256 upscale runs on device
+    else:
+        amp = {
+            "model_size": "mar_small",
+            "img_size": 96,
+            "vae_stride": 16,
+            "patch_size": 1,
+            "vae_embed_dim": 16,
+            "diffloss_d": 6,
+            "diffloss_w": 1024,
+            "diffloss_act_d": 6,
+            "diffloss_act_w": 1024,
+            "num_sampling_steps": "100",
+            "act_diff_testing_steps": os.environ.get("UVA_ACT_STEPS", "100"),
+            "temperature": 0.95,
+            "pretrained_model_path": None,
+        }
+        dd = {"vae_embed_dim": 16, "ch_mult": [1, 1, 2, 2, 4], "ch": 64}
+        img_hw = 96
+    policy = UnifiedVideoActionPolicy(
+        shape_meta={"action": {"shape": [2]}},
+        vae_model_params={"autoencoder_path": None, "ddconfig": dd},
+        autoregressive_model_params=amp,
         action_model_params={"predict_action": True, "act_model_type": "conv_fc"},
         task_name="pusht",
         compute_dtype="bfloat16",
         attn_impl=os.environ.get("UVA_ATTN_IMPL", "xla"),
-        # int8 W8A8 encoder/decoder exists (tests/test_quant.py) but measures
-        # NO faster through the current axon/libtpu stack (PERF.md: int8 raw
-        # matmul 75.5 TF/s vs bf16 78.0) — default off, opt in via env.
         serving_quant=os.environ.get("UVA_SERVING_QUANT") or None,
-        # chunk the VAE encode so the 256^2x128ch conv activations stay
-        # within HBM at large serving batches (B=128 x 4 frames would peak
-        # at 3x8 GB un-chunked)
         vae_encode_chunk=64,
     )
+    return policy, img_hw
+
+
+def load_deployed_params(policy, key):
+    """Trained single-chip checkpoint when present (TRAINRUN.md run), else
+    random init (flagged in the output)."""
+    import jax
+
+    params = policy.init_params(key)
+    ckpt = os.environ.get(
+        "UVA_DEPLOYED_CKPT", "data/outputs/pusht_small_stage2/checkpoints/latest"
+    )
+    if os.path.isdir(ckpt):
+        try:
+            restored = policy._load_mar_ckpt(ckpt, params["mar"])
+            return {"mar": restored, "vae": params["vae"]}, True
+        except Exception as e:
+            print(f"# deployed ckpt load failed: {e}", flush=True)
+    return params, False
+
+
+def measure_tier(policy, img_hw, tag):
+    """Two-stream latent-cached rollout loop; returns metrics dict."""
+    import jax
+    import numpy as np
+
     params = policy.init_params(jax.random.PRNGKey(0))
+    trained = False
+    if tag == "deployed":
+        params, trained = load_deployed_params(policy, jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(1)
-
-    # The serving loop measured here is exactly predict_action_cached's
-    # steady-state branch (policy/policy.py:389-455): per control step the
-    # window slid by 8, so 2 of the 4 selected cond frames reuse the previous
-    # call's VAE latents (device-resident cache) and 2 fresh uint8 frames are
-    # encoded. The fresh frames start HOST-resident and their H2D upload
-    # happens INSIDE the timed region (h2d_included: true) — ~55 KB/chunk of
-    # uint8, dispatched asynchronously so it overlaps compute exactly as the
-    # serving loop overlaps it.
     full_fn = policy._build_predict_cached_fn(4)
     cached_fn = policy._build_predict_cached_fn(2)
 
     first_frames = jax.device_put(
-        rng.randint(0, 255, (BATCH, 4, 3, 96, 96)).astype(np.uint8)
+        rng.randint(0, 255, (BATCH, 4, 3, img_hw, img_hw)).astype(np.uint8)
     )
     fresh = [
-        rng.randint(0, 255, (BATCH, 2, 3, 96, 96)).astype(np.uint8)
+        rng.randint(0, 255, (BATCH, 2, 3, img_hw, img_hw)).astype(np.uint8)
         for _ in range(WARMUP + ITERS)
     ]
     empty = jax.device_put(
@@ -119,10 +139,10 @@ def main():
         )
 
     def sync(nact):
-        action = np.asarray(jax.device_get(nact))  # host sync, as in serving
+        action = np.asarray(jax.device_get(nact))
         assert action.shape[:2] == (BATCH, 16)
 
-    # p50 at depth 1 (a single rollout stream: dispatch -> sync each step)
+    # p50 at depth 1 (single rollout stream: dispatch -> sync each step)
     _, cache = full_fn(params, first_frames, empty, key)
     lat = []
     for i in range(WARMUP + 3):
@@ -133,22 +153,15 @@ def main():
             lat.append(time.perf_counter() - s0)
     p50_ms = float(np.percentile(np.asarray(lat), 50) * 1e3)
 
-    # Throughput with TWO interleaved rollout streams (the reference's
-    # multi-env serving pattern: the chip computes stream A's step while the
-    # host syncs stream B's actions and readies its next obs — jax async
-    # dispatch makes this free; each stream is still strictly sequential).
+    # throughput with two interleaved streams
     caches = [cache, full_fn(params, first_frames, empty, key)[1]]
     pending = [None, None]
-    for i in range(2):  # fill the pipeline
+    for i in range(2):
         pending[i], caches[i] = dispatch(i, caches[i])
-    for i in range(2):  # one steady-state round before the timer
+    for i in range(2):
         s = i % 2
         sync(pending[s])
         pending[s], caches[s] = dispatch(2 + i, caches[s])
-
-    profile_dir = os.environ.get("UVA_PROFILE_DIR")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
 
     n_done = 0
     t0 = time.perf_counter()
@@ -158,38 +171,19 @@ def main():
         n_done += 1
         pending[s], caches[s] = dispatch((4 + i) % len(fresh), caches[s])
     dt = time.perf_counter() - t0
-
-    if profile_dir:
-        jax.profiler.stop_trace()
-
     chunks_per_sec = BATCH * n_done / dt
 
-    # ---- MFU accounting --------------------------------------------------
-    # Whole-path executed FLOPs per step come from XLA's own cost analysis of
-    # the exact compiled serving program (falls back to the analytic model in
-    # the module docstring if the backend doesn't report flops). MAR-only
-    # FLOPs are analytic: encoder+decoder ViT stacks at the policy-mode
-    # context (4x256 video tokens + 64 text tokens, d=768, 12+12 blocks;
-    # multiply-add = 2 FLOPs).
+    # ---- MFU: XLA cost analysis of the exact compiled program, analytic
+    # MAR-only fallback (multiply-add = 2 FLOPs) ------------------------------
     cfg = policy.mar_cfg
     L = 4 * (cfg.img_size // cfg.vae_stride) ** 2 + 64
-    d = 768
-    n_blocks = 24  # mar_base: 12 encoder + 12 decoder (MODEL_SIZES)
+    d = cfg.encoder_embed_dim
+    n_blocks = cfg.encoder_depth + cfg.decoder_depth
     mar_flops = n_blocks * (24 * L * d * d + 4 * L * L * d)
-    analytic = {
-        "mar": mar_flops,
-        # VAE encoder at 256^2 on the 2 fresh frames (PERF.md accounting)
-        "vae_encode_fresh": 0.255e12,
-        # 100-step action diffusion: 16 tokens x 6 resblocks x w=1024
-        "act_diffusion": 0.06e12,
-    }
     try:
         cost = (
             cached_fn.lower(
-                params,
-                jax.device_put(fresh[0]),
-                caches[0][:, [2, 3]],
-                key,
+                params, jax.device_put(fresh[0]), caches[0][:, [2, 3]], key
             )
             .compile()
             .cost_analysis()
@@ -199,36 +193,56 @@ def main():
         flops_per_step = float(cost["flops"])
         flops_source = "xla_cost_analysis"
     except Exception:
-        flops_per_step = float(sum(analytic.values())) * BATCH
-        flops_source = "analytic"
-    # v5e bf16 peak: 197 TF/s/chip (v5e spec; PERF.md measured dense ceiling
-    # on this part is ~117 TF/s, i.e. mfu ~0.59 saturates the chip as built)
-    peak = 197e12
+        flops_per_step = float(mar_flops) * BATCH
+        flops_source = "analytic_mar_only"
     delivered = flops_per_step * n_done / dt
-    mfu = delivered / peak
-    mar_mfu = analytic["mar"] * BATCH * n_done / dt / peak
+    return {
+        "chunks_per_sec": round(chunks_per_sec, 2),
+        "p50_step_latency_ms": round(p50_ms, 1),
+        "mfu": round(delivered / V5E_BF16_PEAK, 4),
+        "mfu_mar_only": round(
+            mar_flops * BATCH * n_done / dt / V5E_BF16_PEAK, 4
+        ),
+        "flops_per_chunk_gf": round(flops_per_step / BATCH / 1e9, 2),
+        "flops_source": flops_source,
+        "delivered_tf_per_s": round(delivered / 1e12, 1),
+        "h2d_bytes_per_step": int(fresh[0].nbytes),
+        **({"trained_weights": trained} if tag == "deployed" else {}),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "pusht_policy_action_chunks_per_sec_per_chip",
-                "value": round(chunks_per_sec, 2),
-                "unit": "chunks/s",
-                "vs_baseline": round(chunks_per_sec / A100_REFERENCE_CHUNKS_PER_SEC, 3),
-                "batch": BATCH,
-                "p50_step_latency_ms": round(p50_ms, 1),
-                "h2d_included": True,
-                "h2d_bytes_per_step": int(fresh[0].nbytes),
-                "mfu": round(mfu, 4),
-                "mfu_mar_only": round(mar_mfu, 4),
-                "flops_per_chunk": round(flops_per_step / BATCH / 1e9, 2),
-                "flops_unit": "GF",
-                "flops_source": flops_source,
-                "peak_tf_per_s": peak / 1e12,
-                "delivered_tf_per_s": round(delivered / 1e12, 1),
-            }
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    tier = os.environ.get("UVA_BENCH_TIER", "both")
+    out = {
+        "metric": "pusht_policy_action_chunks_per_sec_per_chip",
+        "unit": "chunks/s",
+        "batch": BATCH,
+        "h2d_included": True,
+        "act_steps": os.environ.get("UVA_ACT_STEPS", "100"),
+        "peak_tf_per_s": V5E_BF16_PEAK / 1e12,
+    }
+    if tier in ("parity", "both"):
+        policy, img_hw = build_policy("parity")
+        m = measure_tier(policy, img_hw, "parity")
+        out["value"] = m["chunks_per_sec"]
+        out["vs_baseline"] = round(
+            m["chunks_per_sec"] / A100_REFERENCE_CHUNKS_PER_SEC, 3
         )
-    )
+        out.update({k: v for k, v in m.items() if k != "chunks_per_sec"})
+    if tier in ("deployed", "both"):
+        policy, img_hw = build_policy("deployed")
+        out["deployed"] = measure_tier(policy, img_hw, "deployed")
+        if tier == "deployed":
+            out["value"] = out["deployed"]["chunks_per_sec"]
+            out["vs_baseline"] = round(
+                out["value"] / A100_REFERENCE_CHUNKS_PER_SEC, 3
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
