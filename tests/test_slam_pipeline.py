@@ -33,6 +33,15 @@ def test_aruco_detect_and_localize():
     )
     assert 7 in tags
     np.testing.assert_allclose(tags[7]["tvec"], [0, 0, 0.5], atol=0.01)
+    # plain pinhole model path
+    tags_p = sp.detect_aruco_tags(
+        img, cfg["aruco_dict"], cfg["marker_size_map"],
+        pinhole_intr={"K": _intr()["K"]},
+    )
+    np.testing.assert_allclose(tags_p[7]["tvec"], [0, 0, 0.5], atol=0.01)
+    # missing intrinsics is an error, not a silent identity-K localization
+    with pytest.raises(ValueError):
+        sp.detect_aruco_tags(img, cfg["aruco_dict"], cfg["marker_size_map"])
 
 
 def test_gripper_width():

@@ -337,6 +337,25 @@ def test_resize_and_append(tmp_path):
         zarr_arr.resize(4, 2)
 
 
+def test_shrink_then_regrow_reads_fill(tmp_path):
+    """Shrinking must not leave stale data resurrectable by a later grow:
+    whole out-of-range chunks are deleted and boundary-chunk tails blanked."""
+    from unified_video_action_tpu.data import zarrlite
+
+    root = zarrlite.open_group(str(tmp_path / "s"), mode="a")
+    arr = root.create_dataset(
+        "x", shape=(10,), dtype=np.int32, chunks=(4,), fill_value=-1
+    )
+    arr[:] = np.ones(10, np.int32)
+    arr.resize(3)  # boundary chunk 0 keeps [0:3]; chunks 1, 2 deleted
+    np.testing.assert_array_equal(arr[:], np.ones(3, np.int32))
+    arr.resize(10)
+    np.testing.assert_array_equal(arr[:3], np.ones(3, np.int32))
+    np.testing.assert_array_equal(arr[3:], np.full(7, -1, np.int32))
+    # deleted chunk files are actually gone from the store
+    assert not os.path.exists(tmp_path / "s" / "x" / "2")
+
+
 def test_streaming_conversion_bounded_memory(tmp_path):
     """Convert a ~160 MB store lazily under an address-space rlimit that a
     full materialization would blow through (VERDICT r2 next-round #7)."""

@@ -181,17 +181,25 @@ class DataLoader:
                     continue
                 # Bounded wait: a worker killed without posting a result
                 # (segfault / OOM-kill in a forked child) must fail loudly,
-                # not hang the training process forever.
+                # not hang the training process forever. A dead worker alone
+                # is not proof of a lost batch (it may have died idle while
+                # the survivors are just slow) — require a sustained stall
+                # (no results across several poll windows) on top of a death
+                # before giving up.
+                stalled_polls = 0
                 while True:
                     try:
                         batch_id, batch, err = result_q.get(timeout=5.0)
                         break
                     except queue.Empty:
                         dead = [w.name for w in workers if not w.is_alive()]
-                        if dead and result_q.empty():
+                        if not dead:
+                            continue
+                        stalled_polls += 1
+                        if stalled_polls >= 6 and result_q.empty():
                             raise RuntimeError(
-                                "data worker(s) died without reporting a "
-                                f"result: {dead}"
+                                "data worker(s) died and the pool made no "
+                                f"progress for 30s: {dead}"
                             )
                 in_flight -= 1
                 if err is not None:

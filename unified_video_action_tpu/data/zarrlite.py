@@ -357,6 +357,11 @@ class Store:
     def list_prefix(self, prefix: str) -> List[str]:
         raise NotImplementedError
 
+    def delete(self, key: str) -> None:
+        """Remove a key if present (no-op when absent). Append-only stores
+        may refuse."""
+        raise NotImplementedError
+
     def close(self) -> None:
         pass
 
@@ -373,6 +378,9 @@ class MemoryStore(Store):
 
     def set(self, key, value):
         self._d[key] = bytes(value)
+
+    def delete(self, key):
+        self._d.pop(key, None)
 
     def list_prefix(self, prefix):
         return [k for k in self._d if k.startswith(prefix)]
@@ -397,6 +405,11 @@ class DirectoryStore(Store):
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(value)
+
+    def delete(self, key):
+        p = self._path(key)
+        if os.path.isfile(p):
+            os.remove(p)
 
     def list_prefix(self, prefix):
         base = self._path(prefix) if prefix else self.root
@@ -748,10 +761,13 @@ class ZarrArray:
             self._write_chunk(cidx, chunk)
 
     def resize(self, *new_shape) -> None:
-        """Grow/shrink the array (zarr-python ``Array.resize`` semantics):
-        metadata-only — new regions read as fill_value; shrunk regions become
-        unreachable. Chunk grids must be rewritable, so zip stores (append
-        -only) refuse."""
+        """Grow/shrink the array (zarr-python ``Array.resize`` semantics,
+        tightened): regions newly exposed by a later re-grow read as
+        fill_value — on shrink, chunks wholly outside the new shape are
+        deleted and boundary chunks have their out-of-bounds tails
+        overwritten with fill_value (zarr-python deletes but leaves stale
+        edge-chunk tails). Chunk grids must be rewritable, so zip stores
+        (append-only) refuse."""
         if isinstance(self.store, ZipStore):
             raise NotImplementedError("resize on append-only zip stores")
         if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
@@ -759,6 +775,33 @@ class ZarrArray:
         new_shape = tuple(int(s) for s in new_shape)
         if len(new_shape) != self.ndim:
             raise ValueError(f"resize must keep ndim={self.ndim}")
+        old_shape = self.shape
+        if any(n < o for n, o in zip(new_shape, old_shape)):
+            old_grid = [-(-o // c) for o, c in zip(old_shape, self.chunks)]
+            new_grid = [-(-n // c) for n, c in zip(new_shape, self.chunks)]
+            for cidx in np.ndindex(*old_grid):
+                if any(i >= g for i, g in zip(cidx, new_grid)):
+                    self.store.delete(self._chunk_key(cidx))
+                    continue
+                # boundary chunk: blank the tail that falls outside new_shape
+                straddles = any(
+                    i * c < n < min(i * c + c, o)
+                    for i, c, n, o in zip(
+                        cidx, self.chunks, new_shape, old_shape
+                    )
+                )
+                if straddles and self.store.get(self._chunk_key(cidx)) is not None:
+                    chunk = self._read_chunk(cidx).copy()
+                    fill = self._fill_chunk()
+                    for d, (i, c, n) in enumerate(
+                        zip(cidx, self.chunks, new_shape)
+                    ):
+                        lo = max(n - i * c, 0)
+                        if lo < c:
+                            sl = [slice(None)] * self.ndim
+                            sl[d] = slice(lo, None)
+                            chunk[tuple(sl)] = fill[tuple(sl)]
+                    self._write_chunk(cidx, chunk)
         meta = json.loads(self.store.get(_norm_path(self.path, ".zarray")))
         meta["shape"] = list(new_shape)
         self.store.set(

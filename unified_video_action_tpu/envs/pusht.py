@@ -248,7 +248,9 @@ class PushTEnv:
         self.space.step(1.0 / self.sim_hz)
 
     def get_phys_state(self):
-        """Snapshot the full dynamic state (for planners / MPC rollouts)."""
+        """Snapshot the full dynamic state (for planners / MPC rollouts) —
+        including the agent's angular state, which friction contacts can
+        spin up during rollouts (restore must be side-effect free)."""
         return (
             self.agent.position.copy(),
             self.agent.velocity.copy(),
@@ -256,6 +258,8 @@ class PushTEnv:
             float(self.block.angle),
             self.block.velocity.copy(),
             float(self.block.angular_velocity),
+            float(self.agent.angle),
+            float(self.agent.angular_velocity),
         )
 
     def set_phys_state(self, s) -> None:
@@ -265,6 +269,12 @@ class PushTEnv:
         self.block.angle = s[3]
         self.block.velocity = s[4].copy()
         self.block.angular_velocity = s[5]
+        if len(s) > 6:  # older snapshots lack the agent angular state
+            self.agent.angle = s[6]
+            self.agent.angular_velocity = s[7]
+        else:
+            self.agent.angle = 0.0
+            self.agent.angular_velocity = 0.0
 
     def step_dynamics(self, action) -> None:
         """One control step of pure dynamics — no reward/coverage/termination

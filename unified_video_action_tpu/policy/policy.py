@@ -279,6 +279,9 @@ class UnifiedVideoActionPolicy:
             restored = ocp.StandardCheckpointer().restore(
                 os.path.join(os.path.abspath(path), "state")
             )
+            # only the weights matter here — free the optimizer moments
+            # (~2/3 of the payload) before the merge walks the tree
+            restored.pop("opt_state", None)
             src = restored.get("ema_params") or restored["mar_params"]
             merged, skipped = torch_import.merge_params(init_tree, src)
             print(

@@ -52,13 +52,20 @@ def detect_aruco_tags(
     aruco_dict,
     marker_size_map: Dict[int, float],
     fisheye_intr: Optional[Dict[str, np.ndarray]] = None,
+    pinhole_intr: Optional[Dict[str, np.ndarray]] = None,
     refine_subpix: bool = True,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Detect markers and localize each in the camera frame.
 
-    With ``fisheye_intr`` ({"K", "D"}), corners are first undistorted through
-    the Kannala-Brandt model (the UMI GoPro path); poses then solve on the
-    pinhole K. Returns {id: {"rvec", "tvec", "corners"}}."""
+    Exactly one camera model is required: ``fisheye_intr`` ({"K", "D"})
+    undistorts corners through the Kannala-Brandt model first (the UMI GoPro
+    path); ``pinhole_intr`` ({"K", optional "D"}) solves directly on the
+    pinhole model. Returns {id: {"rvec", "tvec", "corners"}}."""
+    if (fisheye_intr is None) == (pinhole_intr is None):
+        raise ValueError(
+            "pass exactly one of fisheye_intr / pinhole_intr — localization "
+            "is meaningless without camera intrinsics"
+        )
     params = cv2.aruco.DetectorParameters()
     if refine_subpix:
         params.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
@@ -75,8 +82,10 @@ def detect_aruco_tags(
         if fisheye_intr is not None:
             K, D = fisheye_intr["K"], fisheye_intr["D"]
             pts = cv2.fisheye.undistortPoints(tag_corners, K, D, P=K)
+            dist = np.zeros(5)
         else:
-            K = fisheye_intr["K"] if fisheye_intr else np.eye(3)
+            K = pinhole_intr["K"]
+            dist = np.asarray(pinhole_intr.get("D", np.zeros(5)))
             pts = tag_corners
         # solvePnP on the marker's canonical square (z=0 plane, CCW from
         # top-left) — the modern replacement for the deprecated
@@ -89,7 +98,7 @@ def detect_aruco_tags(
         )
         ok, rvec, tvec = cv2.solvePnP(
             obj, pts.reshape(4, 1, 2).astype(np.float32), K,
-            np.zeros(5), flags=cv2.SOLVEPNP_IPPE_SQUARE,
+            dist, flags=cv2.SOLVEPNP_IPPE_SQUARE,
         )
         if not ok:
             continue

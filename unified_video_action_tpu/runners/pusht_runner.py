@@ -89,7 +89,7 @@ class PushTImageRunner:
         params,
         key=None,
         chunk_size: Optional[int] = None,
-        n_streams: int = 1,
+        n_streams: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Roll out all seeds. With ``n_streams > 1`` (requires a chunk_size
         that splits the envs into several vector envs), streams are
@@ -99,7 +99,7 @@ class PushTImageRunner:
         pattern; stream-depth wall-clock curve in
         benchmarks/bench_rollout_streams.py)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        n_streams = n_streams if n_streams != 1 else self.n_streams
+        n_streams = self.n_streams if n_streams is None else n_streams
         env_fns = self._make_env_fns()
         n = len(env_fns)
         chunk_size = chunk_size or self.chunk_size or (

@@ -140,10 +140,15 @@ def load_checkpoint(path: str, state):
     }
     try:
         restored = ckptr.restore(os.path.join(path, "state"), template)
-    except Exception:
-        # pre-round-3 checkpoints have no vae_params item
+    except Exception as first_err:
+        # pre-round-3 checkpoints have no vae_params item; anything else
+        # (shape mismatch, truncated orbax dir) must surface the ORIGINAL
+        # error, not a confusing second failure from the retry
         template.pop("vae_params")
-        restored = ckptr.restore(os.path.join(path, "state"), template)
+        try:
+            restored = ckptr.restore(os.path.join(path, "state"), template)
+        except Exception:
+            raise first_err
     state = state.replace(
         step=restored["step"],
         mar_params=restored["mar_params"],

@@ -234,8 +234,7 @@ class TrainWorkspace:
                 print(f"[device_data] falling back to host loader: {e}")
 
         def _draw_aug(B, H, W):
-            m_h = H - int(round(H * 0.95)) + 1
-            m_w = W - int(round(W * 0.95)) + 1
+            m_h, m_w = image_util.aug_margins(H, W)
             return {
                 "aug_top": self.np_rng.integers(0, m_h, B).astype(np.int32),
                 "aug_left": self.np_rng.integers(0, m_w, B).astype(np.int32),
@@ -330,10 +329,18 @@ class TrainWorkspace:
                 )
                 self.global_step += 1
                 epoch_losses.append(metrics)
-                if (i % 200) == 0:
-                    # previous step's metrics are already materialized, so
-                    # this fetch doesn't stall the pipeline
-                    prev = jax.device_get(epoch_losses[max(len(epoch_losses) - 2, 0)])
+                if i == 0:
+                    print(
+                        f"[epoch {self.epoch}] step 0/{steps_per_epoch} "
+                        f"dispatched t={time.time() - t0:.0f}s",
+                        flush=True,
+                    )
+                elif (i % 200) == 0 and len(epoch_losses) >= 2:
+                    # the PREVIOUS step's metrics are already materialized,
+                    # so this fetch doesn't stall the pipeline (at i=0 only
+                    # the just-dispatched step exists — skip, a fetch there
+                    # would block an epoch-start bubble)
+                    prev = jax.device_get(epoch_losses[-2])
                     print(
                         f"[epoch {self.epoch}] step {i}/{steps_per_epoch} "
                         f"loss={float(prev['train_loss']):.4f} "

@@ -69,17 +69,24 @@ def fetch(name: str, root: str = ".") -> Optional[str]:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     url = spec["url"]
+    # download to a .part name and publish by rename: a connection drop must
+    # never leave a truncated file at the final path (which later runs would
+    # treat as a completed download)
+    tmp = path + ".part"
     try:
         if url.startswith("gdown:"):
             import gdown  # optional
 
-            gdown.download(id=url.split(":", 1)[1], output=path, quiet=False)
+            gdown.download(id=url.split(":", 1)[1], output=tmp, quiet=False)
         else:
             import urllib.request
 
-            urllib.request.urlretrieve(url, path)
+            urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, path)
         return path
     except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
         print(
             f"[download] could not fetch {name} ({e}); place the file manually "
             f"at {path} — {spec['note']}",

@@ -68,8 +68,23 @@ def to_model_range(x: Array) -> Array:
     return x * (255.0 / 127.5) - 1.0
 
 
+# train-aug crop fraction (reference pusht_image_dataset.py:93-130); shared
+# by the host param draw and the device crop so their ranges always agree
+AUG_CROP_FRAC = 0.95
+
+
+def aug_margins(H: int, W: int, crop_frac: float = AUG_CROP_FRAC):
+    """Exclusive upper bounds for the (top, left) crop-corner draws matching
+    augment_video's crop size."""
+    return (
+        H - int(round(H * crop_frac)) + 1,
+        W - int(round(W * crop_frac)) + 1,
+    )
+
+
 def augment_video(
-    x: Array, top: Array, left: Array, sigma: Array, crop_frac: float = 0.95
+    x: Array, top: Array, left: Array, sigma: Array,
+    crop_frac: float = AUG_CROP_FRAC,
 ) -> Array:
     """Video-consistent train augmentation ON DEVICE (the reference applies
     the same crop+blur per clip host-side with cv2, pusht_image_dataset.py:
