@@ -59,7 +59,11 @@ class MultiHeadAttention(nn.Module):
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    # "xla" | "pallas" | "ring[:axis]" — ring runs sequence-parallel exact
+    # attention (parallel/ring_attention.py) and requires being applied
+    # under shard_map with the named mesh axis sharding the token dim; all
+    # token-local ops (qkv/proj/mlp/LN) are unchanged under that sharding
+    attn_impl: str = "xla"
     quant: bool = False  # int8 W8A8 dense projections (serving only)
 
     @nn.compact
@@ -76,6 +80,24 @@ class MultiHeadAttention(nn.Module):
             from unified_video_action_tpu.ops.attention import flash_attention
 
             out = flash_attention(q, k, v)  # (B, N, H, hd)
+        elif self.attn_impl.startswith("ring"):
+            from unified_video_action_tpu.parallel.ring_attention import (
+                ring_attention_local,
+            )
+
+            assert self.attn_dropout == 0.0 or deterministic, (
+                "ring attention has no attention-weight dropout"
+            )
+            axis = (
+                self.attn_impl.split(":", 1)[1]
+                if ":" in self.attn_impl else "seq"
+            )
+            out = ring_attention_local(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                axis_name=axis,
+            ).transpose(0, 2, 1, 3)  # back to (B, N, H, hd)
         else:
             scale = hd ** -0.5
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
