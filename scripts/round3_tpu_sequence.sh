@@ -24,6 +24,7 @@ BEST=${BEST:-data/outputs/pusht_small_stage2/checkpoints/latest}
 echo "[seq] $(date +%H:%M:%S) eval_sim 50-seed on $BEST" | tee -a "$LOG/seq.log"
 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_final \
     task.env_runner.n_test=50 task.env_runner.n_train=6 \
+    task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
     task.env_runner.n_test_vis=4 task.env_runner.n_train_vis=2 \
     >> "$LOG/eval50.log" 2>&1
 echo "[seq] eval exit=$?" | tee -a "$LOG/seq.log"
