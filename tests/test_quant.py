@@ -153,3 +153,26 @@ def test_serving_quant_rejects_unknown():
             action_model_params={"predict_action": True},
             serving_quant="fp4",
         )
+
+
+def test_quant_denoiser_param_compatible():
+    """The int8 denoiser consumes the fp param tree unchanged and its output
+    stays within W8A8 quantization error of the fp forward (the N-step
+    sampler scan is weights-traffic bound at small batch — PERF.md)."""
+    from unified_video_action_tpu.models.denoiser import MlpDenoiser
+
+    kwargs = dict(
+        in_channels=8, model_channels=128, out_channels=16, z_channels=64,
+        depth=2,
+    )
+    fp = MlpDenoiser(**kwargs)
+    q = MlpDenoiser(**kwargs, quant=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (32, 8))
+    t = jnp.arange(32) % 1000
+    c = jax.random.normal(jax.random.fold_in(key, 2), (32, 64))
+    params = fp.init(key, x, t, c)["params"]
+    y_fp = fp.apply({"params": params}, x, t, c)
+    y_q = q.apply({"params": params}, x, t, c)
+    rel = float(jnp.linalg.norm(y_q - y_fp) / (jnp.linalg.norm(y_fp) + 1e-9))
+    assert rel < 0.05, rel

@@ -62,13 +62,23 @@ class TimestepEmbed(nn.Module):
         return emb
 
 
+def _dense_cls(quant: bool):
+    if quant:
+        from unified_video_action_tpu.models.transformer import QuantDense
+
+        return QuantDense
+    return nn.Dense
+
+
 class AdaLNResBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array) -> Array:
-        mod = nn.Dense(
+        dense = _dense_cls(self.quant)
+        mod = dense(
             3 * self.channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
@@ -77,14 +87,14 @@ class AdaLNResBlock(nn.Module):
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
         h = _modulate(h, shift, scale)
-        h = nn.Dense(
+        h = dense(
             self.channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             name="fc1",
         )(h)
         h = nn.silu(h)
-        h = nn.Dense(
+        h = dense(
             self.channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -97,10 +107,11 @@ class AdaLNFinal(nn.Module):
     channels: int
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array) -> Array:
-        mod = nn.Dense(
+        mod = _dense_cls(self.quant)(
             2 * self.channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
@@ -137,18 +148,24 @@ class MlpDenoiser(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # int8 W8A8 dense layers for serving: the N-step sampler scan re-reads
+    # every weight each step, so at small token counts the head is
+    # weights-traffic bound (PERF.md) — int8 kernels quarter that traffic.
+    # Parameter-compatible with the fp path (QuantDense shares names/shapes).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t: Array, c: Array) -> Array:
         """x: (N, in_channels); t: (N,) original timesteps; c: (N, z_channels)."""
-        h = nn.Dense(
+        dense = _dense_cls(self.quant)
+        h = dense(
             self.model_channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             name="input_proj",
         )(x)
         t_emb = TimestepEmbed(self.model_channels, dtype=self.dtype, name="time_embed")(t)
-        c_emb = nn.Dense(
+        c_emb = dense(
             self.model_channels,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -160,9 +177,13 @@ class MlpDenoiser(nn.Module):
         if self.remat:
             block_cls = nn.remat(AdaLNResBlock)
         for i in range(self.depth):
-            h = block_cls(self.model_channels, dtype=self.dtype, name=f"block_{i}")(h, y)
+            h = block_cls(
+                self.model_channels, dtype=self.dtype, quant=self.quant,
+                name=f"block_{i}",
+            )(h, y)
         out = AdaLNFinal(
-            self.model_channels, self.out_channels, dtype=self.dtype, name="final"
+            self.model_channels, self.out_channels, dtype=self.dtype,
+            quant=self.quant, name="final",
         )(h, y)
         return out.astype(jnp.float32)
 

@@ -37,6 +37,7 @@ class VideoDiffusionHead(nn.Module):
     depth: int            # 6
     num_sampling_steps: str = "100"
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 W8A8 denoiser (serving; param-compatible)
 
     def setup(self):
         self.net = MlpDenoiser(
@@ -46,6 +47,7 @@ class VideoDiffusionHead(nn.Module):
             z_channels=self.z_channels,
             depth=self.depth,
             dtype=self.dtype,
+            quant=self.quant,
         )
         self.train_diffusion = create_diffusion("", noise_schedule="cosine")
         self.gen_diffusion = create_diffusion(
@@ -219,6 +221,7 @@ class ActionDiffusionHead(nn.Module):
     act_diff_testing_steps: str = "100"
     act_model_type: str = "conv_fc"
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 W8A8 denoiser (serving; param-compatible)
 
     def setup(self):
         pool_cls = {
@@ -240,6 +243,7 @@ class ActionDiffusionHead(nn.Module):
             z_channels=self.z_channels,
             depth=self.depth,
             dtype=self.dtype,
+            quant=self.quant,
         )
         self.train_diffusion = create_diffusion(
             "", noise_schedule="cosine", diffusion_steps=self.act_diff_training_steps

@@ -288,6 +288,7 @@ class Mar(nn.Module):
                 depth=c.diffloss_d,
                 num_sampling_steps=c.num_sampling_steps,
                 dtype=c.dtype,
+                quant=c.quant,
                 name="diffloss",
             )
             if c.predict_wrist_img:
@@ -312,6 +313,7 @@ class Mar(nn.Module):
                 act_diff_testing_steps=c.act_diff_testing_steps,
                 act_model_type=c.act_model_type,
                 dtype=c.dtype,
+                quant=c.quant,
                 name="diffactloss",
             )
         if c.predict_proprioception:
@@ -326,6 +328,7 @@ class Mar(nn.Module):
                 act_diff_testing_steps=c.act_diff_testing_steps,
                 act_model_type=c.act_model_type,
                 dtype=c.dtype,
+                quant=c.quant,
                 name="diffproploss",
             )
 

@@ -34,6 +34,7 @@ class QuantDense(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -41,7 +42,7 @@ class QuantDense(nn.Module):
 
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (x.shape[-1], self.features),
             jnp.float32,
         )
