@@ -13,7 +13,7 @@ python -u train.py --config-name=uva_pusht_small \
     model.policy.selected_training_mode=policy_model_full_dynamics_model \
     model.policy.action_model_params.predict_action=true \
     model.policy.autoregressive_model_params.pretrained_model_path=data/outputs/pusht_small_stage1/checkpoints/latest \
-    training.num_epochs=40 \
+    training.num_epochs="${STAGE2_EPOCHS:-40}" \
     output_dir=data/outputs/pusht_small_stage2 \
     >> "$LOG/stage2.log" 2>&1
 echo "[seq] stage2 exit=$?" | tee -a "$LOG/seq.log"
