@@ -211,7 +211,41 @@ def measure_tier(policy, img_hw, tag):
     }
 
 
+def probe_backend():
+    """Fail fast (JSON error line) instead of hanging forever when the TPU
+    tunnel is down: jax TPU init blocks indefinitely on a dead tunnel (no
+    error), so probe it in a timeout-bounded subprocess first. First-ever
+    init compiles nothing but can take ~40 s; allow 300 s."""
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # explicit CPU run (rehearsal) — nothing to probe
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "pusht_policy_action_chunks_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "chunks/s",
+                    "vs_baseline": 0.0,
+                    "error": f"accelerator unreachable ({type(e).__name__}):"
+                    " axon TPU tunnel down at bench time",
+                }
+            )
+        )
+        sys.exit(0)
+
+
 def main():
+    probe_backend()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
