@@ -6,6 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export JAX_PLATFORMS=cpu
+export PALLAS_AXON_POOL_IPS=  # the axon plugin silently overrides JAX_PLATFORMS=cpu unless disabled
 LOG=data/outputs/rehearsal
 mkdir -p "$LOG"
 FAIL=0

@@ -19,21 +19,31 @@ except ImportError:  # pragma: no cover
 
 
 class VideoRecorder:
+    """Writes mp4 via cv2 when available; degrades to an animated gif via
+    imageio otherwise (the ``.mp4`` suffix is swapped for ``.gif``) instead of
+    refusing to record."""
+
     def __init__(self, fps: int = 10, codec: str = "mp4v"):
         self.fps = fps
         self.codec = codec
         self.writer = None
         self.path: Optional[str] = None
+        self._gif_frames: Optional[list] = None
 
     def start(self, path: str) -> None:
-        assert cv2 is not None, "cv2 required for video recording"
+        if cv2 is None and path.endswith(".mp4"):
+            path = path[: -len(".mp4")] + ".gif"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.stop()
         self.path = path
         self.writer = None  # lazy-open on first frame (need frame size)
+        self._gif_frames = [] if (cv2 is None or path.endswith(".gif")) else None
 
     def write_frame(self, frame: np.ndarray) -> None:
         if self.path is None:
+            return
+        if self._gif_frames is not None:
+            self._gif_frames.append(np.asarray(frame))
             return
         if self.writer is None:
             h, w = frame.shape[:2]
@@ -43,6 +53,15 @@ class VideoRecorder:
         self.writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
     def stop(self) -> Optional[str]:
+        if self._gif_frames is not None:
+            frames, self._gif_frames = self._gif_frames, None
+            path, self.path = self.path, None
+            if not frames:
+                return None
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(path, frames, duration=1000.0 / self.fps)
+            return path
         if self.writer is not None:
             self.writer.release()
             self.writer = None
