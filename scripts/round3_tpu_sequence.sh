@@ -9,20 +9,30 @@ LOG=data/outputs/round3_seq
 mkdir -p "$LOG"
 
 echo "[seq] $(date +%H:%M:%S) stage 2 training" | tee -a "$LOG/seq.log"
-python -u train.py --config-name=uva_pusht_small \
-    model.policy.selected_training_mode=policy_model_full_dynamics_model \
-    model.policy.action_model_params.predict_action=true \
-    model.policy.autoregressive_model_params.pretrained_model_path=data/outputs/pusht_small_stage1/checkpoints/latest \
-    training.num_epochs="${STAGE2_EPOCHS:-40}" \
-    output_dir=data/outputs/pusht_small_stage2 \
-    >> "$LOG/stage2.log" 2>&1
-echo "[seq] stage2 exit=$?" | tee -a "$LOG/seq.log"
+# Retry loop: a tunnel outage mid-run makes jax block forever, so bound each
+# attempt and resume from latest.ckpt (training.resume=true in the config).
+# An attempt that dies <60s after a failed predecessor means the chip is
+# still gone — wait for it rather than burning attempts.
+for attempt in 1 2 3 4; do
+    T0=$(date +%s)
+    timeout "${STAGE2_TIMEOUT:-14400}" python -u train.py --config-name=uva_pusht_small \
+        model.policy.selected_training_mode=policy_model_full_dynamics_model \
+        model.policy.action_model_params.predict_action=true \
+        model.policy.autoregressive_model_params.pretrained_model_path=data/outputs/pusht_small_stage1/checkpoints/latest \
+        training.num_epochs="${STAGE2_EPOCHS:-40}" \
+        output_dir=data/outputs/pusht_small_stage2 \
+        >> "$LOG/stage2.log" 2>&1
+    RC=$?
+    echo "[seq] stage2 attempt $attempt exit=$RC after $(( $(date +%s) - T0 ))s" | tee -a "$LOG/seq.log"
+    [ "$RC" -eq 0 ] && break
+    [ "$attempt" -lt 4 ] && MAX_WAIT=21600 bash scripts/tpu_watch.sh >> "$LOG/seq.log" 2>&1
+done
 
 # best checkpoint: prefer topk (named by test_mean_score), else latest
 BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null | sort -t= -k3 -r | head -1)
 BEST=${BEST:-data/outputs/pusht_small_stage2/checkpoints/latest}
 echo "[seq] $(date +%H:%M:%S) eval_sim 50-seed on $BEST" | tee -a "$LOG/seq.log"
-python -u eval_sim.py -c "$BEST" -o data/outputs/eval_final \
+timeout 10800 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_final \
     task.env_runner.n_test=50 task.env_runner.n_train=6 \
     task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
     task.env_runner.n_test_vis=4 task.env_runner.n_train_vis=2 \
@@ -30,7 +40,7 @@ python -u eval_sim.py -c "$BEST" -o data/outputs/eval_final \
 echo "[seq] eval exit=$?" | tee -a "$LOG/seq.log"
 
 echo "[seq] $(date +%H:%M:%S) reduced-step eval (quality delta, 25 steps)" | tee -a "$LOG/seq.log"
-python -u eval_sim.py -c "$BEST" -o data/outputs/eval_25step \
+timeout 7200 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_25step \
     task.env_runner.n_test=50 task.env_runner.n_train=0 \
     model.policy.autoregressive_model_params.act_diff_testing_steps=25 \
     >> "$LOG/eval25.log" 2>&1
