@@ -24,7 +24,7 @@ timeout 2400 python -u train.py --config-name=uva_pusht_small \
     > "$LOG/stage2.log" 2>&1
 check $? "stage2 debug train"
 
-BEST=$(ls -d "$LOG"/stage2/checkpoints/epoch=* 2>/dev/null | sort -t= -k3 -r | head -1)
+BEST=$(ls -d "$LOG"/stage2/checkpoints/epoch=* 2>/dev/null | grep -v -e "\.tmp$" -e "\.old$" | sort -t= -k3 -r | head -1)
 BEST=${BEST:-$LOG/stage2/checkpoints/latest}
 step "BEST resolved to: $BEST"
 [ -d "$BEST" ] || { echo "[rehearse] FAIL: no checkpoint dir" | tee -a "$LOG/seq.log"; FAIL=1; }

@@ -29,7 +29,7 @@ for attempt in 1 2 3 4; do
 done
 
 # best checkpoint: prefer topk (named by test_mean_score), else latest
-BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null | sort -t= -k3 -r | head -1)
+BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null | grep -v -e "\.tmp$" -e "\.old$" | sort -t= -k3 -r | head -1)
 BEST=${BEST:-data/outputs/pusht_small_stage2/checkpoints/latest}
 echo "[seq] $(date +%H:%M:%S) eval_sim 50-seed on $BEST" | tee -a "$LOG/seq.log"
 timeout 10800 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_final \
