@@ -46,6 +46,13 @@ timeout 7200 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_25step \
     >> "$LOG/eval25.log" 2>&1
 echo "[seq] eval25 exit=$?" | tee -a "$LOG/seq.log"
 
+echo "[seq] $(date +%H:%M:%S) reduced-step eval (quality delta, ddim10)" | tee -a "$LOG/seq.log"
+timeout 7200 python -u eval_sim.py -c "$BEST" -o data/outputs/eval_ddim10 \
+    task.env_runner.n_test=50 task.env_runner.n_train=0 \
+    model.policy.autoregressive_model_params.act_diff_testing_steps=ddim10 \
+    >> "$LOG/eval10.log" 2>&1
+echo "[seq] eval10 exit=$?" | tee -a "$LOG/seq.log"
+
 echo "[seq] $(date +%H:%M:%S) int8 matmul backend shootout" | tee -a "$LOG/seq.log"
 timeout 1200 python -u benchmarks/bench_int8_mm.py >> "$LOG/int8.log" 2>&1
 echo "[seq] int8 exit=$?" | tee -a "$LOG/seq.log"
