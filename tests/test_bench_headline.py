@@ -1,0 +1,53 @@
+"""bench.py headline-tier selection (pure logic, no device).
+
+The judged ``value`` must be the trained deployed flagship when its real
+checkpoint loaded, the parity workload otherwise, and never a random-weight
+deployed number while a parity number exists.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+PARITY = {"chunks_per_sec": 124.0, "mfu": 0.64, "p50_step_latency_ms": 9.0}
+DEPLOYED_TRAINED = {
+    "chunks_per_sec": 600.0,
+    "mfu": 0.3,
+    "p50_step_latency_ms": 3.0,
+    "trained_weights": True,
+}
+DEPLOYED_RANDOM = {**DEPLOYED_TRAINED, "trained_weights": False}
+
+
+def test_trained_deployed_wins():
+    out = bench.select_headline(PARITY, DEPLOYED_TRAINED)
+    assert out["headline_tier"] == "deployed"
+    assert out["value"] == 600.0
+    assert out["mfu"] == 0.3  # mirrors the headline tier
+    assert out["vs_baseline"] == pytest.approx(4.0)
+
+
+def test_random_deployed_falls_back_to_parity():
+    out = bench.select_headline(PARITY, DEPLOYED_RANDOM)
+    assert out["headline_tier"] == "parity"
+    assert out["value"] == 124.0
+    assert out["mfu"] == 0.64
+    assert out["vs_baseline"] == pytest.approx(124.0 / 150.0, abs=1e-3)
+
+
+def test_parity_only():
+    out = bench.select_headline(PARITY, None)
+    assert out["headline_tier"] == "parity" and out["value"] == 124.0
+
+
+def test_deployed_only_random_is_labeled():
+    out = bench.select_headline(None, DEPLOYED_RANDOM)
+    assert out["headline_tier"] == "deployed_random_weights"
+    assert out["value"] == 600.0
