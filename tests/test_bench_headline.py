@@ -22,11 +22,16 @@ DEPLOYED_TRAINED = {
     "mfu": 0.3,
     "p50_step_latency_ms": 3.0,
     "trained_weights": True,
+    "test_mean_score": 0.8,
 }
-DEPLOYED_RANDOM = {**DEPLOYED_TRAINED, "trained_weights": False}
+DEPLOYED_RANDOM = {
+    **DEPLOYED_TRAINED, "trained_weights": False, "test_mean_score": None
+}
+DEPLOYED_UNSCORED = {**DEPLOYED_TRAINED, "test_mean_score": None}
+DEPLOYED_WEAK = {**DEPLOYED_TRAINED, "test_mean_score": 0.1}
 
 
-def test_trained_deployed_wins():
+def test_trained_scored_deployed_wins():
     out = bench.select_headline(PARITY, DEPLOYED_TRAINED)
     assert out["headline_tier"] == "deployed"
     assert out["value"] == 600.0
@@ -42,6 +47,16 @@ def test_random_deployed_falls_back_to_parity():
     assert out["vs_baseline"] == pytest.approx(124.0 / 150.0, abs=1e-3)
 
 
+def test_trained_but_unscored_is_not_promoted():
+    out = bench.select_headline(PARITY, DEPLOYED_UNSCORED)
+    assert out["headline_tier"] == "parity" and out["value"] == 124.0
+
+
+def test_trained_but_weak_score_is_not_promoted():
+    out = bench.select_headline(PARITY, DEPLOYED_WEAK)
+    assert out["headline_tier"] == "parity" and out["value"] == 124.0
+
+
 def test_parity_only():
     out = bench.select_headline(PARITY, None)
     assert out["headline_tier"] == "parity" and out["value"] == 124.0
@@ -51,3 +66,25 @@ def test_deployed_only_random_is_labeled():
     out = bench.select_headline(None, DEPLOYED_RANDOM)
     assert out["headline_tier"] == "deployed_random_weights"
     assert out["value"] == 600.0
+
+
+def test_deployed_only_trained_unscored_is_labeled_ungated():
+    out = bench.select_headline(None, DEPLOYED_UNSCORED)
+    assert out["headline_tier"] == "deployed_ungated"
+    assert out["value"] == 600.0
+
+
+def test_deployed_quality_reads_real_logs_only(tmp_path, monkeypatch):
+    import json as _json
+
+    d = tmp_path / "data" / "outputs" / "eval_final"
+    d.mkdir(parents=True)
+    (d / "eval_log_a.json").write_text(
+        _json.dumps({"test_mean_score": 0.9, "env_backend": "stub"})
+    )
+    (d / "eval_log_b.json").write_text(
+        _json.dumps({"test_mean_score": 0.62, "env_backend": "real"})
+    )
+    monkeypatch.chdir(tmp_path)  # deployed_quality globs relative to cwd
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.deployed_quality() == pytest.approx(0.62)
