@@ -14,3 +14,6 @@ from unified_video_action_tpu.real.controller import (  # noqa: F401
 )
 from unified_video_action_tpu.real.camera import CameraProcess  # noqa: F401
 from unified_video_action_tpu.real.env import UmiRealEnv  # noqa: F401
+from unified_video_action_tpu.real.visualizer import (  # noqa: F401
+    MultiCameraVisualizer,
+)
