@@ -59,7 +59,7 @@ def test_visualizer_process_composes_camera_rings():
     for c in cams:
         c.start_wait()
     vis = MultiCameraVisualizer(cams, row=1, col=2, vis_fps=20.0,
-                                window=False, rgb_to_bgr=False)
+                                sink="ring", rgb_to_bgr=False)
     try:
         with vis:
             time.sleep(0.5)

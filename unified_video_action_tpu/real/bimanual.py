@@ -266,76 +266,8 @@ class BimanualUmiEnv:
         self.action_accumulator = None
 
 
-class MultiCameraVisualizer(mp.Process):
-    """Tile the latest frame of every camera into a row×col grid at
-    ``vis_fps`` (reference multi_camera_visualizer.py:8-85). Headless-capable:
-    ``sink="file"`` atomically publishes the grid as a .npy for tests/remote
-    monitoring; ``sink="window"`` uses cv2.imshow when a display exists."""
-
-    def __init__(self, cameras: Sequence[CameraProcess], row: int, col: int,
-                 vis_fps: float = 30.0, fill_value: int = 0,
-                 rgb_to_bgr: bool = True, sink: str = "window",
-                 out_path: Optional[str] = None,
-                 window_name: str = "Multi Cam Vis"):
-        super().__init__(daemon=True)
-        assert row * col >= len(cameras)
-        assert sink in ("window", "file")
-        if sink == "file":
-            assert out_path, "file sink needs out_path"
-        self.cameras = list(cameras)
-        self.row, self.col = row, col
-        self.vis_fps = vis_fps
-        self.fill_value = fill_value
-        self.rgb_to_bgr = rgb_to_bgr
-        self.sink = sink
-        self.out_path = out_path
-        self.window_name = window_name
-        self.stop_event = mp.Event()
-
-    def __enter__(self):
-        self.start()
-        return self
-
-    def __exit__(self, *exc):
-        self.stop(wait=True)
-
-    def stop(self, wait: bool = False):
-        self.stop_event.set()
-        if wait:
-            self.join(timeout=3.0)
-
-    def _compose(self, frames: List[np.ndarray]) -> np.ndarray:
-        H, W = frames[0].shape[:2]
-        grid = np.full((H * self.row, W * self.col, 3), self.fill_value,
-                       dtype=np.uint8)
-        for idx, f in enumerate(frames):
-            r, c = divmod(idx, self.col)
-            if r >= self.row:
-                break
-            img = f[:, :, ::-1] if self.rgb_to_bgr else f
-            grid[H * r: H * (r + 1), W * c: W * (c + 1)] = img
-        return grid
-
-    def run(self):
-        period = 1.0 / self.vis_fps
-        while not self.stop_event.is_set():
-            t0 = time.monotonic()
-            try:
-                frames = [cam.get(1)["color"][0] for cam in self.cameras
-                          if cam.is_ready]
-            except Exception:
-                frames = []
-            if frames:
-                grid = self._compose(frames)
-                if self.sink == "file":
-                    tmp = self.out_path + ".tmp.npy"
-                    np.save(tmp, grid)
-                    import os
-
-                    os.replace(tmp, self.out_path)
-                else:  # pragma: no cover - needs a display
-                    import cv2
-
-                    cv2.imshow(self.window_name, grid)
-                    cv2.pollKey()
-            time.sleep(max(0.0, period - (time.monotonic() - t0)))
+# canonical implementation lives in real/visualizer.py (ring + file + window
+# sinks); re-exported here for back-compat with the bimanual import path
+from unified_video_action_tpu.real.visualizer import (  # noqa: E402,F401
+    MultiCameraVisualizer,
+)

@@ -62,15 +62,19 @@ class MultiCameraVisualizer(mp.Process):
         are touched here.
     row, col:
         grid layout; ``row*col`` may exceed ``len(cameras)`` (blank cells).
-    window:
-        try to open a cv2 window. When False (or cv2/display absent) the
-        grid goes only to the output ring.
+    sink:
+        "window" tries a cv2 window (falls back to ring-only when cv2 or a
+        display is absent); "file" additionally publishes the grid
+        atomically to ``out_path`` as .npy (remote/headless monitoring);
+        "ring" publishes to the shared-memory ring only. The ring is always
+        written regardless of sink.
     """
 
     def __init__(self, cameras: Sequence, row: int, col: int,
                  window_name: str = "Multi Cam Vis", vis_fps: float = 30.0,
                  fill_value: int = 0, rgb_to_bgr: bool = True,
-                 window: bool = True, get_max_k: int = 8):
+                 sink: str = "window", out_path: Optional[str] = None,
+                 get_max_k: int = 8):
         super().__init__(daemon=True)
         if not cameras:
             raise ValueError("need at least one camera")
@@ -83,7 +87,12 @@ class MultiCameraVisualizer(mp.Process):
         self.vis_fps = float(vis_fps)
         self.fill_value = fill_value
         self.rgb_to_bgr = rgb_to_bgr
-        self.window = window
+        if sink not in ("window", "file", "ring"):
+            raise ValueError(f"unknown sink {sink!r}")
+        if sink == "file" and not out_path:
+            raise ValueError("file sink needs out_path")
+        self.sink = sink
+        self.out_path = out_path
         h, w, _ = self.cameras[0].ring.dtype["color"].shape
         self._cell_hw = (h, w)
         self.ring = SharedMemoryRingBuffer(
@@ -122,7 +131,7 @@ class MultiCameraVisualizer(mp.Process):
     # -- child-side loop -----------------------------------------------------
     def run(self):  # pragma: no cover - exercised via integration test
         imshow = None
-        if self.window:
+        if self.sink == "window":
             try:
                 import cv2
 
@@ -156,6 +165,12 @@ class MultiCameraVisualizer(mp.Process):
                 "grid": grid,
                 "timestamp": np.float64(newest or time.time()),
             })
+            if self.sink == "file":
+                import os
+
+                tmp = self.out_path + ".tmp.npy"
+                np.save(tmp, grid)
+                os.replace(tmp, self.out_path)
             if imshow is not None:
                 try:
                     imshow.imshow(self.window_name, grid)
