@@ -48,15 +48,16 @@ ITERS = 8
 V5E_BF16_PEAK = 197e12
 
 
-def build_policy(tier):
+def build_policy(tier, act_steps=None):
     from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
+    act_steps = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
     if tier == "parity":
         amp = {
             "model_size": "mar_base",
             "img_size": 256,
             "num_sampling_steps": "100",
-            "act_diff_testing_steps": os.environ.get("UVA_ACT_STEPS", "100"),
+            "act_diff_testing_steps": act_steps,
             "temperature": 0.95,
             "pretrained_model_path": None,
         }
@@ -74,7 +75,7 @@ def build_policy(tier):
             "diffloss_act_d": 6,
             "diffloss_act_w": 1024,
             "num_sampling_steps": "100",
-            "act_diff_testing_steps": os.environ.get("UVA_ACT_STEPS", "100"),
+            "act_diff_testing_steps": act_steps,
             "temperature": 0.95,
             "pretrained_model_path": None,
         }
@@ -265,18 +266,8 @@ def probe_backend():
 MIN_DEPLOYED_SCORE = 0.25  # well above the random-policy PushT coverage (~0.05)
 
 
-def deployed_quality():
-    """Real eval evidence for the deployed flagship: the best
-    ``test_mean_score`` among recorded eval logs (the sequence writes
-    data/outputs/eval_final; UVA_DEPLOYED_SCORE_JSON overrides). None when no
-    real (non-stub) score has been recorded."""
-    import glob
-
-    paths = (
-        [os.environ["UVA_DEPLOYED_SCORE_JSON"]]
-        if os.environ.get("UVA_DEPLOYED_SCORE_JSON")
-        else glob.glob("data/outputs/eval_final/eval_log_*.json")
-    )
+def _best_real_score(paths):
+    """Best non-stub ``test_mean_score`` among eval log files, else None."""
     best = None
     for p in paths:
         try:
@@ -290,6 +281,41 @@ def deployed_quality():
         if best is None or score > best:
             best = score
     return best
+
+
+def deployed_quality():
+    """Real eval evidence for the deployed flagship: the best
+    ``test_mean_score`` among recorded eval logs (the sequence writes
+    data/outputs/eval_final; UVA_DEPLOYED_SCORE_JSON overrides). None when no
+    real (non-stub) score has been recorded."""
+    import glob
+
+    paths = (
+        [os.environ["UVA_DEPLOYED_SCORE_JSON"]]
+        if os.environ.get("UVA_DEPLOYED_SCORE_JSON")
+        else glob.glob("data/outputs/eval_final/eval_log_*.json")
+    )
+    return _best_real_score(paths)
+
+
+def reduced_step_choice():
+    """Quality-gated reduced-step sampler for the deployed tier (VERDICT r2
+    next-round #2a): among the recorded reduced-step eval runs (the sequence
+    writes eval_ddim10 / eval_25step next to the full-step eval_final), pick
+    the FEWEST action-diffusion steps whose real eval score keeps >=90% of
+    the full-step score and clears MIN_DEPLOYED_SCORE. Returns
+    (act_steps, score) or None (no evidence -> keep the deploy default)."""
+    import glob
+
+    full = deployed_quality()
+    if full is None or full < MIN_DEPLOYED_SCORE:
+        return None
+    for steps, d in (("ddim10", "data/outputs/eval_ddim10"),
+                     ("25", "data/outputs/eval_25step")):
+        s = _best_real_score(glob.glob(os.path.join(d, "eval_log_*.json")))
+        if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
+            return steps, s
+    return None
 
 
 def select_headline(parity, deployed):
@@ -351,8 +377,19 @@ def main():
         m = measure_tier(policy, img_hw, "parity")
         out["parity"] = m
     if tier in ("deployed", "both"):
-        policy, img_hw = build_policy("deployed")
-        out["deployed"] = measure_tier(policy, img_hw, "deployed")
+        # quality-gated reduced-step sampler: engaged only when an explicit
+        # UVA_ACT_STEPS is absent AND recorded reduced-step evals kept >=90%
+        # of the full-step score (reduced_step_choice)
+        act_steps = None
+        reduced = None if os.environ.get("UVA_ACT_STEPS") else reduced_step_choice()
+        if reduced:
+            act_steps, reduced_score = reduced
+        policy, img_hw = build_policy("deployed", act_steps=act_steps)
+        m = measure_tier(policy, img_hw, "deployed")
+        m["act_steps"] = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
+        if reduced:
+            m["reduced_step_score"] = reduced_score
+        out["deployed"] = m
 
     out.update(select_headline(out.get("parity"), out.get("deployed")))
     print(json.dumps(out))

@@ -88,3 +88,52 @@ def test_deployed_quality_reads_real_logs_only(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # deployed_quality globs relative to cwd
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
     assert bench.deployed_quality() == pytest.approx(0.62)
+
+
+def _write_eval(tmp_path, subdir, score, backend="real"):
+    import json as _json
+
+    d = tmp_path / "data" / "outputs" / subdir
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "eval_log_x.json").write_text(
+        _json.dumps({"test_mean_score": score, "env_backend": backend})
+    )
+
+
+def test_reduced_steps_engaged_when_quality_holds(tmp_path, monkeypatch):
+    _write_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_ddim10", 0.75)  # >= 0.9 * 0.8
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.reduced_step_choice() == ("ddim10", pytest.approx(0.75))
+
+
+def test_reduced_steps_fall_back_to_25_then_full(tmp_path, monkeypatch):
+    _write_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_ddim10", 0.5)   # quality collapsed at 10
+    _write_eval(tmp_path, "eval_25step", 0.78)  # holds at 25
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.reduced_step_choice() == ("25", pytest.approx(0.78))
+
+    # collapse at 25 too -> no reduction
+    _write_eval(tmp_path, "eval_25step", 0.3)
+    assert bench.reduced_step_choice() is None
+
+
+def test_reduced_steps_require_a_full_step_gate(tmp_path, monkeypatch):
+    # no full-step score, or a weak one -> never engage reduction
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.reduced_step_choice() is None
+    _write_eval(tmp_path, "eval_final", 0.1)  # below MIN_DEPLOYED_SCORE
+    _write_eval(tmp_path, "eval_ddim10", 0.95)
+    assert bench.reduced_step_choice() is None
+
+
+def test_reduced_steps_ignore_stub_scores(tmp_path, monkeypatch):
+    _write_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_ddim10", 0.9, backend="stub")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.reduced_step_choice() is None
