@@ -11,6 +11,10 @@ Usage: python benchmarks/bench_rollout_streams.py [--envs 12] [--steps 64]
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 
