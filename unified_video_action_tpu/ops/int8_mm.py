@@ -1,13 +1,13 @@
 """Pallas int8 matmul: chase the v5e MXU's native 2x int8 rate.
 
-The XLA lowering of ``lax.dot_general(int8, int8, preferred=int32)`` measures
-at bf16 speed on this stack (PERF.md: 75.5 TF/s int8 vs 78.0 bf16 — an
-upcast in the lowering), forfeiting the MXU's 394 TOPS int8 mode. This
-kernel feeds the MXU int8 operands directly from VMEM with int32
-accumulation, bypassing the XLA dot lowering. Used by ``ops.quant`` when
-``UVA_INT8_BACKEND=pallas`` (default stays on the XLA dot — measured wins
-only flip the default when demonstrated on the target part, see
-benchmarks/bench_int8_mm.py).
+Written to chase a round-2 measurement where the XLA lowering of
+``lax.dot_general(int8, int8, preferred=int32)`` appeared stuck at bf16
+speed. That measurement was a sync artifact (PERF.md round-3 addenda): with
+the corrected scanned-chain harness, XLA's own int8 dot reaches 212 TF/s at
+the serving shape (1.43x bf16 — the MXU int8 rate engages) while this kernel
+measures 107 TF/s. The default therefore stays on the XLA dot; the kernel
+remains available via ``UVA_INT8_BACKEND=pallas`` in ``ops.quant`` and as
+the reference point for benchmarks/bench_int8_mm.py.
 
 Grid: (M/bm, N/bn), K unsplit (serving K <= 4096 fits VMEM comfortably:
 bm*K + K*bn int8 + bm*bn int32 < 2 MB at the default tile). M/N are padded
