@@ -83,7 +83,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     # wait until training is actually stepping
     import select
 
-    deadline = time.time() + 240
+    deadline = time.time() + 480
     started = False
     buf = b""
     while time.time() < deadline:
@@ -100,7 +100,9 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     # wait until at least one epoch has completed (first-step jit compile is
     # the long pole), then preempt mid-run
     logs = os.path.join(out, "logs.jsonl")
-    deadline = time.time() + 240
+    # 240s is ample in isolation (the run takes ~135s) but the full suite on a
+    # 1-vCPU host contends this subprocess down past the deadline; be generous.
+    deadline = time.time() + 600
     while time.time() < deadline:
         if os.path.exists(logs) and os.path.getsize(logs) > 0:
             break
