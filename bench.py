@@ -50,7 +50,13 @@ STREAMS = int(os.environ.get("UVA_BENCH_STREAMS", "4"))
 V5E_BF16_PEAK = 197e12
 
 
-def build_policy(tier, act_steps=None):
+# Committed deployment export (scripts/export_flagship.py): survives the
+# environment resets that wipe data/ between rounds, so the deployed tier's
+# trained weights + recorded eval evidence stay available to every bench run.
+EXPORT_DIR = "pretrained_models/uva_pusht_small"
+
+
+def build_policy(tier, act_steps=None, quant=None):
     from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
     act_steps = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
@@ -91,7 +97,10 @@ def build_policy(tier, act_steps=None):
         task_name="pusht",
         compute_dtype="bfloat16",
         attn_impl=os.environ.get("UVA_ATTN_IMPL", "xla"),
-        serving_quant=os.environ.get("UVA_SERVING_QUANT") or None,
+        serving_quant=(
+            quant if quant is not None else os.environ.get("UVA_SERVING_QUANT")
+        )
+        or None,
         vae_encode_chunk=64,
     )
     return policy, img_hw
@@ -111,6 +120,8 @@ def load_deployed_params(policy, key):
             # TPU stage-2 run, then the CPU-fallback continuation (TRAINRUN.md)
             "data/outputs/pusht_small_stage2/checkpoints/latest",
             "data/outputs/stage2_cpu_smoke/checkpoints/latest",
+            # committed slim export (survives data/ wipes between rounds)
+            os.path.join(EXPORT_DIR, "latest"),
         ]
     )
     for ckpt in candidates:
@@ -310,6 +321,7 @@ def deployed_quality():
         [os.environ["UVA_DEPLOYED_SCORE_JSON"]]
         if os.environ.get("UVA_DEPLOYED_SCORE_JSON")
         else glob.glob("data/outputs/eval_final/eval_log_*.json")
+        or glob.glob(os.path.join(EXPORT_DIR, "eval_final/eval_log_*.json"))
     )
     return _best_real_score(paths)
 
@@ -326,11 +338,40 @@ def reduced_step_choice():
     full = deployed_quality()
     if full is None or full < MIN_DEPLOYED_SCORE:
         return None
-    for steps, d in (("ddim10", "data/outputs/eval_ddim10"),
-                     ("25", "data/outputs/eval_25step")):
-        s = _best_real_score(glob.glob(os.path.join(d, "eval_log_*.json")))
+    for steps, dirs in (
+        ("ddim10", ("data/outputs/eval_ddim10", os.path.join(EXPORT_DIR, "eval_ddim10"))),
+        ("25", ("data/outputs/eval_25step", os.path.join(EXPORT_DIR, "eval_25step"))),
+    ):
+        logs = []
+        for d in dirs:
+            logs = glob.glob(os.path.join(d, "eval_log_*.json"))
+            if logs:
+                break
+        s = _best_real_score(logs)
         if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
             return steps, s
+    return None
+
+
+def quant_choice():
+    """Quality-gated int8 W8A8 for the deployed tier (same contract as
+    reduced_step_choice, NEXT_ROUND #3): engaged only when a recorded real
+    eval run WITH ``serving_quant=int8`` (the sequence writes eval_int8)
+    kept >=90% of the full-precision score and clears MIN_DEPLOYED_SCORE.
+    Returns the int8 eval score, or None (keep bf16)."""
+    import glob
+
+    full = deployed_quality()
+    if full is None or full < MIN_DEPLOYED_SCORE:
+        return None
+    logs = []
+    for d in ("data/outputs/eval_int8", os.path.join(EXPORT_DIR, "eval_int8")):
+        logs = glob.glob(os.path.join(d, "eval_log_*.json"))
+        if logs:
+            break
+    s = _best_real_score(logs)
+    if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
+        return s
     return None
 
 
@@ -400,11 +441,21 @@ def main():
         reduced = None if os.environ.get("UVA_ACT_STEPS") else reduced_step_choice()
         if reduced:
             act_steps, reduced_score = reduced
-        policy, img_hw = build_policy("deployed", act_steps=act_steps)
+        # int8 W8A8 engages only on recorded quality evidence (quant_choice);
+        # an explicit UVA_SERVING_QUANT (incl. "none") always wins
+        quant = None
+        int8_score = None
+        if os.environ.get("UVA_SERVING_QUANT") is None:
+            int8_score = quant_choice()
+            quant = "int8" if int8_score is not None else ""
+        policy, img_hw = build_policy("deployed", act_steps=act_steps, quant=quant)
         m = measure_tier(policy, img_hw, "deployed")
         m["act_steps"] = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
         if reduced:
             m["reduced_step_score"] = reduced_score
+        m["serving_quant"] = policy.serving_quant or "bf16"
+        if int8_score is not None:
+            m["int8_score"] = int8_score
         out["deployed"] = m
 
     out.update(select_headline(out.get("parity"), out.get("deployed")))

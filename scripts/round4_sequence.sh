@@ -1,0 +1,113 @@
+#!/bin/bash
+# Round-4 TPU sequence: retrain the flagship after the data/ wipe, then make
+# the result PERMANENT — export the best checkpoint + its eval evidence into
+# pretrained_models/uva_pusht_small/ (committed), so bench.py's deployed tier
+# never again regresses to the parity tier after an environment reset.
+#
+# Differences from round3_tpu_sequence.sh:
+#   * stage 2 uses the new training.early_stop_patience (keeps the peak
+#     instead of overfitting past it — TRAINRUN.md: peak epoch 8 of 40)
+#   * all 50-seed evals run ON THE EXPORT (the bf16 slim artifact), so the
+#     recorded scores describe exactly the committed weights
+#   * adds the quality-gated int8 eval (eval_int8) that bench.quant_choice
+#     reads before engaging W8A8 in the deployed tier
+set -u
+cd "$(dirname "$0")/.."
+LOG=data/outputs/round4_seq
+EXPORT=pretrained_models/uva_pusht_small
+mkdir -p "$LOG"
+
+if [ -f /tmp/gendemos.pid ] && kill -0 "$(cat /tmp/gendemos.pid)" 2>/dev/null; then
+    # train on the incremental publishes; stop the generator once enough
+    # episodes exist rather than waiting for the full target
+    while [ ! -f data/pusht_demos.h5 ]; do sleep 10; done
+fi
+echo "[seq4] $(date +%H:%M:%S) demos ready: $(stat -c%s data/pusht_demos.h5) bytes" | tee -a "$LOG/seq.log"
+
+if [ ! -d data/outputs/pusht_small_stage1/checkpoints/latest ]; then
+    echo "[seq4] $(date +%H:%M:%S) stage 1" | tee -a "$LOG/seq.log"
+    for attempt in 1 2 3; do
+        T0=$(date +%s)
+        timeout "${STAGE1_TIMEOUT:-3600}" python -u train.py --config-name=uva_pusht_small \
+            model.policy.selected_training_mode=video_model \
+            model.policy.action_model_params.predict_action=false \
+            training.num_epochs="${STAGE1_EPOCHS:-6}" \
+            training.rollout_every=1000 \
+            output_dir=data/outputs/pusht_small_stage1 \
+            >> "$LOG/stage1.log" 2>&1
+        RC=$?
+        echo "[seq4] stage1 attempt $attempt exit=$RC after $(( $(date +%s) - T0 ))s" | tee -a "$LOG/seq.log"
+        [ "$RC" -eq 0 ] && break
+        [ "$attempt" -lt 3 ] && MAX_WAIT=7200 bash scripts/tpu_watch.sh >> "$LOG/seq.log" 2>&1
+    done
+fi
+
+# stop the demo generator before stage 2 (1 vCPU: it halves the dispatch rate)
+if [ -f /tmp/gendemos.pid ] && kill -0 "$(cat /tmp/gendemos.pid)" 2>/dev/null; then
+    kill "$(cat /tmp/gendemos.pid)" 2>/dev/null
+    echo "[seq4] demo generator stopped for stage 2" | tee -a "$LOG/seq.log"
+fi
+
+echo "[seq4] $(date +%H:%M:%S) stage 2 (early_stop_patience)" | tee -a "$LOG/seq.log"
+for attempt in 1 2 3; do
+    T0=$(date +%s)
+    timeout "${STAGE2_TIMEOUT:-7200}" python -u train.py --config-name=uva_pusht_small \
+        model.policy.selected_training_mode=policy_model_full_dynamics_model \
+        model.policy.action_model_params.predict_action=true \
+        model.policy.autoregressive_model_params.pretrained_model_path=data/outputs/pusht_small_stage1/checkpoints/latest \
+        training.num_epochs="${STAGE2_EPOCHS:-24}" \
+        training.rollout_every=4 \
+        training.early_stop_patience="${PATIENCE:-2}" \
+        output_dir=data/outputs/pusht_small_stage2 \
+        >> "$LOG/stage2.log" 2>&1
+    RC=$?
+    echo "[seq4] stage2 attempt $attempt exit=$RC after $(( $(date +%s) - T0 ))s" | tee -a "$LOG/seq.log"
+    [ "$RC" -eq 0 ] && break
+    [ "$attempt" -lt 3 ] && MAX_WAIT=7200 bash scripts/tpu_watch.sh >> "$LOG/seq.log" 2>&1
+done
+
+BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null | grep -v -e "\.tmp$" -e "\.old$" | sort -t= -k3 -r | head -1)
+BEST=${BEST:-data/outputs/pusht_small_stage2/checkpoints/latest}
+echo "[seq4] $(date +%H:%M:%S) export $BEST -> $EXPORT/latest" | tee -a "$LOG/seq.log"
+python -u scripts/export_flagship.py --ckpt "$BEST" --out "$EXPORT/latest" | tee -a "$LOG/seq.log"
+
+echo "[seq4] $(date +%H:%M:%S) eval_final (100-step, 50 seeds, on the export)" | tee -a "$LOG/seq.log"
+timeout 3600 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_final \
+    task.env_runner.n_test=50 task.env_runner.n_train=6 \
+    task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
+    task.env_runner.n_test_vis=4 task.env_runner.n_train_vis=2 \
+    >> "$LOG/eval_final.log" 2>&1
+echo "[seq4] eval_final exit=$?" | tee -a "$LOG/seq.log"
+mkdir -p "$EXPORT/eval_final" && cp data/outputs/eval_final/eval_log_*.json "$EXPORT/eval_final/" 2>/dev/null
+
+echo "[seq4] $(date +%H:%M:%S) eval_ddim10" | tee -a "$LOG/seq.log"
+timeout 3600 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_ddim10 \
+    task.env_runner.n_test=50 task.env_runner.n_train=0 \
+    task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
+    model.policy.autoregressive_model_params.act_diff_testing_steps=ddim10 \
+    >> "$LOG/eval_ddim10.log" 2>&1
+echo "[seq4] eval_ddim10 exit=$?" | tee -a "$LOG/seq.log"
+mkdir -p "$EXPORT/eval_ddim10" && cp data/outputs/eval_ddim10/eval_log_*.json "$EXPORT/eval_ddim10/" 2>/dev/null
+
+echo "[seq4] $(date +%H:%M:%S) eval_int8 (ddim10 + W8A8)" | tee -a "$LOG/seq.log"
+timeout 3600 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_int8 \
+    task.env_runner.n_test=50 task.env_runner.n_train=0 \
+    task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
+    model.policy.autoregressive_model_params.act_diff_testing_steps=ddim10 \
+    model.policy.serving_quant=int8 \
+    >> "$LOG/eval_int8.log" 2>&1
+echo "[seq4] eval_int8 exit=$?" | tee -a "$LOG/seq.log"
+mkdir -p "$EXPORT/eval_int8" && cp data/outputs/eval_int8/eval_log_*.json "$EXPORT/eval_int8/" 2>/dev/null
+
+mkdir -p artifacts/round4
+cp data/outputs/pusht_small_stage1/logs.jsonl artifacts/round4/stage1_logs.jsonl 2>/dev/null
+cp data/outputs/pusht_small_stage2/logs.jsonl artifacts/round4/stage2_logs.jsonl 2>/dev/null
+cp data/outputs/eval_final/eval_log_*.json artifacts/round4/ 2>/dev/null
+cp data/pusht_demos_meta.json artifacts/round4/ 2>/dev/null
+cp "$LOG/seq.log" artifacts/round4/sequence.log 2>/dev/null
+
+echo "[seq4] $(date +%H:%M:%S) bench.py (deployed tier from the export)" | tee -a "$LOG/seq.log"
+timeout 3600 python -u bench.py > artifacts/round4/bench_line.json 2> "$LOG/bench.err"
+echo "[seq4] bench exit=$?" | tee -a "$LOG/seq.log"
+tail -1 artifacts/round4/bench_line.json | tee -a "$LOG/seq.log"
+echo "[seq4] $(date +%H:%M:%S) DONE" | tee -a "$LOG/seq.log"

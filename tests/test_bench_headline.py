@@ -137,3 +137,56 @@ def test_reduced_steps_ignore_stub_scores(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
     assert bench.reduced_step_choice() is None
+
+
+def _write_export_eval(tmp_path, subdir, score, backend="real"):
+    import json as _json
+
+    d = tmp_path / bench.EXPORT_DIR / subdir
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "eval_log_x.json").write_text(
+        _json.dumps({"test_mean_score": score, "env_backend": backend})
+    )
+
+
+def test_committed_export_logs_back_the_gates(tmp_path, monkeypatch):
+    """After an environment reset wipes data/, the eval evidence committed
+    next to the slim export still drives every quality gate."""
+    _write_export_eval(tmp_path, "eval_final", 0.8)
+    _write_export_eval(tmp_path, "eval_ddim10", 0.79)
+    _write_export_eval(tmp_path, "eval_int8", 0.76)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.deployed_quality() == pytest.approx(0.8)
+    assert bench.reduced_step_choice() == ("ddim10", pytest.approx(0.79))
+    assert bench.quant_choice() == pytest.approx(0.76)
+
+
+def test_live_run_logs_shadow_the_committed_export(tmp_path, monkeypatch):
+    # a fresh data/outputs eval (new training run) must win over the export's
+    # stale committed evidence
+    _write_export_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_final", 0.5)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.deployed_quality() == pytest.approx(0.5)
+
+
+def test_int8_engages_only_when_quality_holds(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.quant_choice() is None  # no evidence at all
+    _write_eval(tmp_path, "eval_final", 0.8)
+    assert bench.quant_choice() is None  # no int8 eval recorded
+    _write_eval(tmp_path, "eval_int8", 0.5)  # quality collapsed under quant
+    assert bench.quant_choice() is None
+    _write_eval(tmp_path, "eval_int8", 0.75)  # >= 0.9 * full
+    assert bench.quant_choice() == pytest.approx(0.75)
+
+
+def test_int8_ignores_stub_scores(tmp_path, monkeypatch):
+    _write_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_int8", 0.9, backend="stub")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.quant_choice() is None

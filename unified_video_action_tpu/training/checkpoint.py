@@ -131,6 +131,32 @@ def load_checkpoint(path: str, state):
                 path = cand
                 break
     ckptr = ocp.StandardCheckpointer()
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    norm_path = os.path.join(path, "normalizer.npz")
+    normalizer = LinearNormalizer.load(norm_path) if os.path.exists(norm_path) else None
+    if meta.get("slim"):
+        # Deployment export (scripts/export_flagship.py): EMA weights +
+        # frozen VAE only — no optimizer moments, no raw params. Loadable
+        # for eval/serving; resuming *training* from a slim export restarts
+        # the optimizer from init (the step counter is preserved for
+        # provenance, not schedule continuity).
+        import jax.numpy as jnp
+
+        restored = ckptr.restore(os.path.join(path, "state"))
+        ema = restored.get("ema_params") or restored["mar_params"]
+        as_jax = lambda t: jax.tree.map(jnp.asarray, t)
+        state = state.replace(
+            step=jnp.asarray(restored.get("step", 0)),
+            mar_params=as_jax(ema),
+            ema_params=as_jax(ema),
+            vae_params=(
+                as_jax(restored["vae_params"])
+                if "vae_params" in restored
+                else state.vae_params
+            ),
+        )
+        return state, meta, normalizer
     template = {
         "step": state.step,
         "mar_params": state.mar_params,
@@ -156,10 +182,6 @@ def load_checkpoint(path: str, state):
         opt_state=restored["opt_state"],
         vae_params=restored.get("vae_params", state.vae_params),
     )
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
-    norm_path = os.path.join(path, "normalizer.npz")
-    normalizer = LinearNormalizer.load(norm_path) if os.path.exists(norm_path) else None
     return state, meta, normalizer
 
 

@@ -91,6 +91,15 @@ class TrainWorkspace:
         rollout_every = 1 if debug else int(tcfg.get("rollout_every", 10))
         checkpoint_every = 1 if debug else int(tcfg.get("checkpoint_every", 10))
         val_every = 1 if debug else int(tcfg.get("val_every", 1))
+        # Early stopping on the rollout score (units: consecutive rollout
+        # evals without a new best test_mean_score). Long imitation runs
+        # overfit past the peak (TRAINRUN.md: peak at epoch 8, then decay);
+        # patience keeps the run from burning chip-hours past it while top-k
+        # keeps the best weights either way.
+        early_stop_patience = tcfg.get("early_stop_patience") or None
+        if early_stop_patience is not None:
+            early_stop_patience = int(early_stop_patience)
+        early = {"best": float("-inf"), "stale": 0, "stop": False}
 
         # dataset (instantiated from its _target_ via the registry)
         ds_cfg = dict(cfg["task"]["dataset"])
@@ -311,7 +320,11 @@ class TrainWorkspace:
                 mesh_lib.shard_batch(_to_jax_batch(b), mesh),
             )
 
-        while self.epoch < num_epochs and not preempted["flag"]:
+        while (
+            self.epoch < num_epochs
+            and not preempted["flag"]
+            and not early["stop"]
+        ):
             t0 = time.time()
             epoch_losses = []
             it = (
@@ -434,6 +447,21 @@ class TrainWorkspace:
                     {k: v for k, v in runner_log.items() if "mean_score" in k}
                 )
                 step_log["test_mean_score"] = runner_log.get("test/mean_score", 0.0)
+                if early_stop_patience is not None:
+                    score = step_log["test_mean_score"]
+                    if score > early["best"]:
+                        early["best"], early["stale"] = score, 0
+                    else:
+                        early["stale"] += 1
+                        if early["stale"] >= early_stop_patience:
+                            early["stop"] = True
+                            step_log["early_stopped"] = True
+                            print(
+                                f"[early-stop] no test_mean_score improvement"
+                                f" in {early['stale']} rollouts (best"
+                                f" {early['best']:.4f}); stopping after epoch"
+                                f" {self.epoch}"
+                            )
 
             logger.log(step_log, step=self.global_step)
             tracker.log(step_log, step=self.global_step)
@@ -471,10 +499,11 @@ class TrainWorkspace:
                 normalizer=self.policy.normalizer, epoch=self.epoch,
             )
             print(f"[preempt] checkpoint saved at epoch {self.epoch}; exiting")
-        elif num_epochs > 0 and (num_epochs - 1) % checkpoint_every != 0:
-            # the run's final epoch falls between periodic saves — always
-            # publish it as `latest` (the periodic cadence is a crash-safety
-            # knob, not a statement about which weights matter)
+        elif num_epochs > 0 and (self.epoch - 1) % checkpoint_every != 0:
+            # the run's final epoch (normal or early-stopped) falls between
+            # periodic saves — always publish it as `latest` (the periodic
+            # cadence is a crash-safety knob, not a statement about which
+            # weights matter)
             cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
             ckpt_lib.save_checkpoint(
                 latest_path, state, cfg=cfg_dict,
