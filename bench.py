@@ -45,7 +45,7 @@ N_OBS = 16
 N_ACTION_STEPS = 8
 WARMUP = 3
 ITERS = 8
-REPEATS = int(os.environ.get("UVA_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("UVA_BENCH_REPEATS", "5"))
 STREAMS = int(os.environ.get("UVA_BENCH_STREAMS", "4"))
 V5E_BF16_PEAK = 197e12
 
@@ -106,35 +106,52 @@ def build_policy(tier, act_steps=None, quant=None):
     return policy, img_hw
 
 
-def load_deployed_params(policy, key):
+def deployed_candidates():
+    env_ckpt = os.environ.get("UVA_DEPLOYED_CKPT")
+    if env_ckpt:
+        return [env_ckpt]
+    return [
+        # TPU stage-2 run, then the CPU-fallback continuation (TRAINRUN.md)
+        "data/outputs/pusht_small_stage2/checkpoints/latest",
+        "data/outputs/stage2_cpu_smoke/checkpoints/latest",
+        # committed slim export (survives data/ wipes between rounds)
+        os.path.join(EXPORT_DIR, "latest"),
+    ]
+
+
+def pick_deployed_ckpt():
+    """Choose the checkpoint the deployed tier will serve, preferring one with
+    digest-matched quality evidence (so the gates can never describe different
+    weights than the benchmark runs — evidence and weights are tied by
+    ``ckpt_digest``). Returns (path, digest, gated_score); (None, None, None)
+    when no candidate directory exists."""
+    from unified_video_action_tpu.utils.ckpt_id import ckpt_digest
+
+    existing = []
+    for c in deployed_candidates():
+        if c and os.path.isdir(c):
+            d = ckpt_digest(c)
+            q = deployed_quality(d)
+            if q is not None and q >= MIN_DEPLOYED_SCORE:
+                return c, d, q
+            existing.append((c, d, q))
+    return existing[0] if existing else (None, None, None)
+
+
+def load_deployed_params(policy, key, ckpt):
     """Trained single-chip checkpoint when present (TRAINRUN.md run), else
     random init (flagged in the output)."""
-    import jax
-
     params = policy.init_params(key)
-    env_ckpt = os.environ.get("UVA_DEPLOYED_CKPT")
-    candidates = (
-        [env_ckpt]
-        if env_ckpt
-        else [
-            # TPU stage-2 run, then the CPU-fallback continuation (TRAINRUN.md)
-            "data/outputs/pusht_small_stage2/checkpoints/latest",
-            "data/outputs/stage2_cpu_smoke/checkpoints/latest",
-            # committed slim export (survives data/ wipes between rounds)
-            os.path.join(EXPORT_DIR, "latest"),
-        ]
-    )
-    for ckpt in candidates:
-        if os.path.isdir(ckpt):
-            try:
-                restored = policy._load_mar_ckpt(ckpt, params["mar"])
-                return {"mar": restored, "vae": params["vae"]}, True
-            except Exception as e:
-                print(f"# deployed ckpt load failed ({ckpt}): {e}", flush=True)
+    if ckpt and os.path.isdir(ckpt):
+        try:
+            restored = policy._load_mar_ckpt(ckpt, params["mar"])
+            return {"mar": restored, "vae": params["vae"]}, True
+        except Exception as e:
+            print(f"# deployed ckpt load failed ({ckpt}): {e}", flush=True)
     return params, False
 
 
-def measure_tier(policy, img_hw, tag):
+def measure_tier(policy, img_hw, tag, ckpt=None, quality=None):
     """Two-stream latent-cached rollout loop; returns metrics dict."""
     import jax
     import numpy as np
@@ -142,7 +159,7 @@ def measure_tier(policy, img_hw, tag):
     params = policy.init_params(jax.random.PRNGKey(0))
     trained = False
     if tag == "deployed":
-        params, trained = load_deployed_params(policy, jax.random.PRNGKey(0))
+        params, trained = load_deployed_params(policy, jax.random.PRNGKey(0), ckpt)
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(1)
@@ -196,10 +213,11 @@ def measure_tier(policy, img_hw, tag):
         sync(pending[s])
         pending[s], caches[s] = dispatch(STREAMS + i, caches[s])
 
-    # Best-of-REPEATS identical timed windows: run-to-run variance through
+    # Median-of-REPEATS identical timed windows: run-to-run variance through
     # the shared axon tunnel is external interference (observed 436 vs 666
-    # chunks/s on back-to-back runs of the same program), so the max over
-    # windows estimates the machine rate; every window is reported.
+    # chunks/s on back-to-back runs of the same program). The MEDIAN window is
+    # the headline — best-of-N on a shared channel is self-flattery (VERDICT
+    # r3 weak #2) — and every window plus the best is reported in the detail.
     window_rates = []
     n_done = 2 * ITERS
     for _ in range(REPEATS):
@@ -211,7 +229,7 @@ def measure_tier(policy, img_hw, tag):
                 (2 * STREAMS + i) % len(fresh), caches[s]
             )
         window_rates.append(BATCH * n_done / (time.perf_counter() - t0))
-    chunks_per_sec = max(window_rates)
+    chunks_per_sec = float(np.median(np.asarray(window_rates)))
     dt = BATCH * n_done / chunks_per_sec
 
     # ---- MFU: XLA cost analysis of the exact compiled program, analytic
@@ -240,6 +258,8 @@ def measure_tier(policy, img_hw, tag):
     return {
         "chunks_per_sec": round(chunks_per_sec, 2),
         "throughput_windows": [round(r, 2) for r in window_rates],
+        "best_window": round(max(window_rates), 2),
+        "window_stat": "median",
         "p50_step_latency_ms": round(p50_ms, 1),
         "mfu": round(delivered / V5E_BF16_PEAK, 4),
         "mfu_mar_only": round(
@@ -250,7 +270,7 @@ def measure_tier(policy, img_hw, tag):
         "delivered_tf_per_s": round(delivered / 1e12, 1),
         "h2d_bytes_per_step": int(fresh[0].nbytes),
         **(
-            {"trained_weights": trained, "test_mean_score": deployed_quality()}
+            {"trained_weights": trained, "test_mean_score": quality}
             if tag == "deployed"
             else {}
         ),
@@ -293,14 +313,25 @@ def probe_backend():
 MIN_DEPLOYED_SCORE = 0.25  # well above the random-policy PushT coverage (~0.05)
 
 
-def _best_real_score(paths):
-    """Best non-stub ``test_mean_score`` among eval log files, else None."""
+def _best_real_score(paths, digest=None, act_steps=None, quant=None):
+    """Best non-stub ``test_mean_score`` among eval log files, else None.
+
+    When ``digest`` / ``act_steps`` / ``quant`` are given, only logs whose
+    recorded provenance stamps match are accepted — evidence recorded on
+    different weights or a different serving config never gates this run
+    (ADVICE r3: evidence/weights provenance, act_steps laundering)."""
     best = None
     for p in paths:
         try:
             with open(p) as f:
                 log = json.load(f)
             if str(log.get("env_backend", "real")) == "stub":
+                continue
+            if digest is not None and log.get("ckpt_digest") != digest:
+                continue
+            if act_steps is not None and str(log.get("act_steps")) != str(act_steps):
+                continue
+            if quant is not None and log.get("serving_quant", "bf16") != quant:
                 continue
             score = float(log["test_mean_score"])
         except Exception:
@@ -310,66 +341,67 @@ def _best_real_score(paths):
     return best
 
 
-def deployed_quality():
+def _eval_logs(subdir):
+    """Eval log files for one eval kind: the live run dir (fresh training run)
+    wins over the committed export's evidence."""
+    import glob
+
+    return glob.glob(f"data/outputs/{subdir}/eval_log_*.json") or glob.glob(
+        os.path.join(EXPORT_DIR, subdir, "eval_log_*.json")
+    )
+
+
+def deployed_quality(digest=None):
     """Real eval evidence for the deployed flagship: the best
     ``test_mean_score`` among recorded eval logs (the sequence writes
     data/outputs/eval_final; UVA_DEPLOYED_SCORE_JSON overrides). None when no
-    real (non-stub) score has been recorded."""
-    import glob
-
-    paths = (
-        [os.environ["UVA_DEPLOYED_SCORE_JSON"]]
-        if os.environ.get("UVA_DEPLOYED_SCORE_JSON")
-        else glob.glob("data/outputs/eval_final/eval_log_*.json")
-        or glob.glob(os.path.join(EXPORT_DIR, "eval_final/eval_log_*.json"))
-    )
-    return _best_real_score(paths)
+    real (non-stub) score has been recorded. With ``digest``, only logs
+    stamped with that checkpoint identity count — and the explicit env
+    override bypasses the digest check (a deliberate operator decision,
+    visible in the environment)."""
+    if os.environ.get("UVA_DEPLOYED_SCORE_JSON"):
+        return _best_real_score([os.environ["UVA_DEPLOYED_SCORE_JSON"]])
+    return _best_real_score(_eval_logs("eval_final"), digest=digest)
 
 
-def reduced_step_choice():
+def reduced_step_choice(digest=None):
     """Quality-gated reduced-step sampler for the deployed tier (VERDICT r2
     next-round #2a): among the recorded reduced-step eval runs (the sequence
     writes eval_ddim10 / eval_25step next to the full-step eval_final), pick
     the FEWEST action-diffusion steps whose real eval score keeps >=90% of
-    the full-step score and clears MIN_DEPLOYED_SCORE. Returns
+    the full-step score and clears MIN_DEPLOYED_SCORE. The log must be
+    stamped with the same checkpoint digest AND the candidate step count
+    (logs predating the provenance stamps never engage a reduction). Returns
     (act_steps, score) or None (no evidence -> keep the deploy default)."""
-    import glob
-
-    full = deployed_quality()
+    full = deployed_quality(digest)
     if full is None or full < MIN_DEPLOYED_SCORE:
         return None
-    for steps, dirs in (
-        ("ddim10", ("data/outputs/eval_ddim10", os.path.join(EXPORT_DIR, "eval_ddim10"))),
-        ("25", ("data/outputs/eval_25step", os.path.join(EXPORT_DIR, "eval_25step"))),
-    ):
-        logs = []
-        for d in dirs:
-            logs = glob.glob(os.path.join(d, "eval_log_*.json"))
-            if logs:
-                break
-        s = _best_real_score(logs)
+    for steps, subdir in (("ddim10", "eval_ddim10"), ("25", "eval_25step")):
+        s = _best_real_score(
+            _eval_logs(subdir), digest=digest, act_steps=steps
+        )
         if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
             return steps, s
     return None
 
 
-def quant_choice():
+def quant_choice(digest=None, serve_steps="100"):
     """Quality-gated int8 W8A8 for the deployed tier (same contract as
     reduced_step_choice, NEXT_ROUND #3): engaged only when a recorded real
-    eval run WITH ``serving_quant=int8`` (the sequence writes eval_int8)
-    kept >=90% of the full-precision score and clears MIN_DEPLOYED_SCORE.
-    Returns the int8 eval score, or None (keep bf16)."""
-    import glob
-
-    full = deployed_quality()
+    eval run WITH ``serving_quant=int8`` (the sequence writes eval_int8) AND
+    the same ``act_steps`` bench will actually serve kept >=90% of the
+    full-precision score and cleared MIN_DEPLOYED_SCORE (ADVICE r3: int8 must
+    never engage for a serving config that was never evaluated). Returns the
+    int8 eval score, or None (keep bf16)."""
+    full = deployed_quality(digest)
     if full is None or full < MIN_DEPLOYED_SCORE:
         return None
-    logs = []
-    for d in ("data/outputs/eval_int8", os.path.join(EXPORT_DIR, "eval_int8")):
-        logs = glob.glob(os.path.join(d, "eval_log_*.json"))
-        if logs:
-            break
-    s = _best_real_score(logs)
+    s = _best_real_score(
+        _eval_logs("eval_int8"),
+        digest=digest,
+        act_steps=serve_steps,
+        quant="int8",
+    )
     if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
         return s
     return None
@@ -434,28 +466,39 @@ def main():
         m = measure_tier(policy, img_hw, "parity")
         out["parity"] = m
     if tier in ("deployed", "both"):
+        # one checkpoint choice shared by the quality gates AND the
+        # measurement (ADVICE r3: evidence and weights must describe the same
+        # artifact) — preferring a candidate with digest-matched evidence
+        ckpt, digest, quality = pick_deployed_ckpt()
         # quality-gated reduced-step sampler: engaged only when an explicit
-        # UVA_ACT_STEPS is absent AND recorded reduced-step evals kept >=90%
-        # of the full-step score (reduced_step_choice)
+        # UVA_ACT_STEPS is absent AND recorded reduced-step evals (stamped
+        # with this checkpoint's digest) kept >=90% of the full-step score
         act_steps = None
-        reduced = None if os.environ.get("UVA_ACT_STEPS") else reduced_step_choice()
+        reduced = (
+            None if os.environ.get("UVA_ACT_STEPS") else reduced_step_choice(digest)
+        )
         if reduced:
             act_steps, reduced_score = reduced
-        # int8 W8A8 engages only on recorded quality evidence (quant_choice);
-        # an explicit UVA_SERVING_QUANT (incl. "none") always wins
+        serve_steps = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
+        # int8 W8A8 engages only on recorded quality evidence for the exact
+        # (checkpoint, act_steps) bench will serve; an explicit
+        # UVA_SERVING_QUANT (incl. "none") always wins
         quant = None
         int8_score = None
         if os.environ.get("UVA_SERVING_QUANT") is None:
-            int8_score = quant_choice()
+            int8_score = quant_choice(digest, serve_steps=serve_steps)
             quant = "int8" if int8_score is not None else ""
         policy, img_hw = build_policy("deployed", act_steps=act_steps, quant=quant)
-        m = measure_tier(policy, img_hw, "deployed")
-        m["act_steps"] = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
+        m = measure_tier(policy, img_hw, "deployed", ckpt=ckpt, quality=quality)
+        m["act_steps"] = serve_steps
         if reduced:
             m["reduced_step_score"] = reduced_score
         m["serving_quant"] = policy.serving_quant or "bf16"
         if int8_score is not None:
             m["int8_score"] = int8_score
+        if ckpt:
+            m["ckpt_source"] = ckpt
+            m["ckpt_digest"] = digest
         out["deployed"] = m
 
     out.update(select_headline(out.get("parity"), out.get("deployed")))

@@ -75,6 +75,16 @@ def main(argv=None):
     runners = load_env_runner(cfg, output_dir=args.output_dir)
     log = env_rollout(policy, eval_params, runners, jax.random.PRNGKey(0))
 
+    # Provenance stamps: tie this evidence to the exact artifact + serving
+    # config evaluated, so bench.py's quality gates can refuse logs that
+    # describe different weights or a different sampler than they serve.
+    from unified_video_action_tpu.utils.ckpt_id import ckpt_digest
+
+    log["ckpt_source"] = args.checkpoint
+    log["ckpt_digest"] = ckpt_digest(args.checkpoint)
+    log["act_steps"] = str(policy.mar_cfg.act_diff_testing_steps)
+    log["serving_quant"] = policy.serving_quant or "bf16"
+
     name = os.path.basename(os.path.normpath(args.checkpoint))
     if "stub" in log.get("env_backend", ""):
         name += ".STUB"  # stub-backed logs are self-identifying by filename too

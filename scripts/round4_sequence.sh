@@ -17,6 +17,17 @@ LOG=data/outputs/round4_seq
 EXPORT=pretrained_models/uva_pusht_small
 mkdir -p "$LOG"
 
+# inner-loop gate: the fast suite (~5 min) catches breakage before committing
+# hours of TPU time; the full 26-min suite stays a round-end step (VERDICT r3)
+if [ "${SKIP_GATE:-0}" != "1" ]; then
+    echo "[seq4] $(date +%H:%M:%S) fast-suite gate (pytest -m 'not slow')" | tee -a "$LOG/seq.log"
+    if ! JAX_PLATFORMS=cpu python -m pytest tests -x -q -m "not slow" > "$LOG/gate.log" 2>&1; then
+        echo "[seq4] fast suite FAILED — aborting (see $LOG/gate.log)" | tee -a "$LOG/seq.log"
+        tail -20 "$LOG/gate.log"
+        exit 1
+    fi
+fi
+
 if [ -f /tmp/gendemos.pid ] && kill -0 "$(cat /tmp/gendemos.pid)" 2>/dev/null; then
     # train on the incremental publishes; stop the generator once enough
     # episodes exist rather than waiting for the full target
@@ -49,6 +60,7 @@ if [ -f /tmp/gendemos.pid ] && kill -0 "$(cat /tmp/gendemos.pid)" 2>/dev/null; t
 fi
 
 echo "[seq4] $(date +%H:%M:%S) stage 2 (early_stop_patience)" | tee -a "$LOG/seq.log"
+STAGE2_OK=0
 for attempt in 1 2 3; do
     T0=$(date +%s)
     timeout "${STAGE2_TIMEOUT:-7200}" python -u train.py --config-name=uva_pusht_small \
@@ -62,11 +74,22 @@ for attempt in 1 2 3; do
         >> "$LOG/stage2.log" 2>&1
     RC=$?
     echo "[seq4] stage2 attempt $attempt exit=$RC after $(( $(date +%s) - T0 ))s" | tee -a "$LOG/seq.log"
-    [ "$RC" -eq 0 ] && break
+    if [ "$RC" -eq 0 ]; then STAGE2_OK=1; break; fi
     [ "$attempt" -lt 3 ] && MAX_WAIT=7200 bash scripts/tpu_watch.sh >> "$LOG/seq.log" 2>&1
 done
 
-BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null | grep -v -e "\.tmp$" -e "\.old$" | sort -t= -k3 -r | head -1)
+# never export/eval/commit a failed run's checkpoints (ADVICE r3)
+if [ "$STAGE2_OK" -ne 1 ]; then
+    echo "[seq4] stage 2 never exited 0 — skipping export/eval/bench" | tee -a "$LOG/seq.log"
+    exit 1
+fi
+
+# best top-k checkpoint by the monitored score, numerically (the monitor is
+# test_mean_score / mode=max; lexicographic sort mis-ranks e.g. 0.9 vs 0.10)
+BEST=$(ls -d data/outputs/pusht_small_stage2/checkpoints/epoch=* 2>/dev/null \
+    | grep -v -e "\.tmp$" -e "\.old$" \
+    | awk -F'test_mean_score=' 'NF==2 {print $2 "\t" $0}' \
+    | sort -g -r | head -1 | cut -f2)
 BEST=${BEST:-data/outputs/pusht_small_stage2/checkpoints/latest}
 echo "[seq4] $(date +%H:%M:%S) export $BEST -> $EXPORT/latest" | tee -a "$LOG/seq.log"
 python -u scripts/export_flagship.py --ckpt "$BEST" --out "$EXPORT/latest" | tee -a "$LOG/seq.log"

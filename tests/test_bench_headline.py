@@ -90,13 +90,39 @@ def test_deployed_quality_reads_real_logs_only(tmp_path, monkeypatch):
     assert bench.deployed_quality() == pytest.approx(0.62)
 
 
-def _write_eval(tmp_path, subdir, score, backend="real"):
+DIGEST = "d" * 64  # the checkpoint identity eval_sim stamps into its logs
+
+
+def _write_eval(
+    tmp_path,
+    subdir,
+    score,
+    backend="real",
+    digest=DIGEST,
+    act_steps=None,
+    quant="bf16",
+    root="data/outputs",
+):
     import json as _json
 
-    d = tmp_path / "data" / "outputs" / subdir
+    if act_steps is None:
+        act_steps = {
+            "eval_ddim10": "ddim10",
+            "eval_25step": "25",
+            "eval_int8": "ddim10",
+        }.get(subdir, "100")
+    d = tmp_path / root / subdir
     d.mkdir(parents=True, exist_ok=True)
     (d / "eval_log_x.json").write_text(
-        _json.dumps({"test_mean_score": score, "env_backend": backend})
+        _json.dumps(
+            {
+                "test_mean_score": score,
+                "env_backend": backend,
+                "ckpt_digest": digest,
+                "act_steps": act_steps,
+                "serving_quant": quant,
+            }
+        )
     )
 
 
@@ -105,7 +131,7 @@ def test_reduced_steps_engaged_when_quality_holds(tmp_path, monkeypatch):
     _write_eval(tmp_path, "eval_ddim10", 0.75)  # >= 0.9 * 0.8
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.reduced_step_choice() == ("ddim10", pytest.approx(0.75))
+    assert bench.reduced_step_choice(DIGEST) == ("ddim10", pytest.approx(0.75))
 
 
 def test_reduced_steps_fall_back_to_25_then_full(tmp_path, monkeypatch):
@@ -114,21 +140,21 @@ def test_reduced_steps_fall_back_to_25_then_full(tmp_path, monkeypatch):
     _write_eval(tmp_path, "eval_25step", 0.78)  # holds at 25
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.reduced_step_choice() == ("25", pytest.approx(0.78))
+    assert bench.reduced_step_choice(DIGEST) == ("25", pytest.approx(0.78))
 
     # collapse at 25 too -> no reduction
     _write_eval(tmp_path, "eval_25step", 0.3)
-    assert bench.reduced_step_choice() is None
+    assert bench.reduced_step_choice(DIGEST) is None
 
 
 def test_reduced_steps_require_a_full_step_gate(tmp_path, monkeypatch):
     # no full-step score, or a weak one -> never engage reduction
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.reduced_step_choice() is None
+    assert bench.reduced_step_choice(DIGEST) is None
     _write_eval(tmp_path, "eval_final", 0.1)  # below MIN_DEPLOYED_SCORE
     _write_eval(tmp_path, "eval_ddim10", 0.95)
-    assert bench.reduced_step_choice() is None
+    assert bench.reduced_step_choice(DIGEST) is None
 
 
 def test_reduced_steps_ignore_stub_scores(tmp_path, monkeypatch):
@@ -136,57 +162,112 @@ def test_reduced_steps_ignore_stub_scores(tmp_path, monkeypatch):
     _write_eval(tmp_path, "eval_ddim10", 0.9, backend="stub")
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.reduced_step_choice() is None
+    assert bench.reduced_step_choice(DIGEST) is None
 
 
-def _write_export_eval(tmp_path, subdir, score, backend="real"):
-    import json as _json
-
-    d = tmp_path / bench.EXPORT_DIR / subdir
-    d.mkdir(parents=True, exist_ok=True)
-    (d / "eval_log_x.json").write_text(
-        _json.dumps({"test_mean_score": score, "env_backend": backend})
-    )
+def test_evidence_from_other_weights_never_gates(tmp_path, monkeypatch):
+    """ADVICE r3: after a retrain, eval logs recorded on the OLD checkpoint
+    must not gate the new one — the digest ties evidence to weights."""
+    _write_eval(tmp_path, "eval_final", 0.8, digest="e" * 64)
+    _write_eval(tmp_path, "eval_ddim10", 0.79, digest="e" * 64)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.deployed_quality(DIGEST) is None
+    assert bench.reduced_step_choice(DIGEST) is None
+    assert bench.quant_choice(DIGEST) is None
+    # unstamped legacy logs are rejected too once a digest is required
+    _write_eval(tmp_path, "eval_final", 0.8, digest=None)
+    assert bench.deployed_quality(DIGEST) is None
 
 
 def test_committed_export_logs_back_the_gates(tmp_path, monkeypatch):
     """After an environment reset wipes data/, the eval evidence committed
     next to the slim export still drives every quality gate."""
-    _write_export_eval(tmp_path, "eval_final", 0.8)
-    _write_export_eval(tmp_path, "eval_ddim10", 0.79)
-    _write_export_eval(tmp_path, "eval_int8", 0.76)
+    _write_eval(tmp_path, "eval_final", 0.8, root=bench.EXPORT_DIR)
+    _write_eval(tmp_path, "eval_ddim10", 0.79, root=bench.EXPORT_DIR)
+    _write_eval(tmp_path, "eval_int8", 0.76, quant="int8", root=bench.EXPORT_DIR)
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.deployed_quality() == pytest.approx(0.8)
-    assert bench.reduced_step_choice() == ("ddim10", pytest.approx(0.79))
-    assert bench.quant_choice() == pytest.approx(0.76)
+    assert bench.deployed_quality(DIGEST) == pytest.approx(0.8)
+    assert bench.reduced_step_choice(DIGEST) == ("ddim10", pytest.approx(0.79))
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") == pytest.approx(0.76)
 
 
 def test_live_run_logs_shadow_the_committed_export(tmp_path, monkeypatch):
     # a fresh data/outputs eval (new training run) must win over the export's
     # stale committed evidence
-    _write_export_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_final", 0.8, root=bench.EXPORT_DIR)
     _write_eval(tmp_path, "eval_final", 0.5)
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.deployed_quality() == pytest.approx(0.5)
+    assert bench.deployed_quality(DIGEST) == pytest.approx(0.5)
 
 
 def test_int8_engages_only_when_quality_holds(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.quant_choice() is None  # no evidence at all
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") is None  # no evidence
     _write_eval(tmp_path, "eval_final", 0.8)
-    assert bench.quant_choice() is None  # no int8 eval recorded
-    _write_eval(tmp_path, "eval_int8", 0.5)  # quality collapsed under quant
-    assert bench.quant_choice() is None
-    _write_eval(tmp_path, "eval_int8", 0.75)  # >= 0.9 * full
-    assert bench.quant_choice() == pytest.approx(0.75)
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") is None  # no int8 eval
+    _write_eval(tmp_path, "eval_int8", 0.5, quant="int8")  # quality collapsed
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") is None
+    _write_eval(tmp_path, "eval_int8", 0.75, quant="int8")  # >= 0.9 * full
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") == pytest.approx(0.75)
+
+
+def test_int8_requires_matching_act_steps(tmp_path, monkeypatch):
+    """ADVICE r3: the int8 evidence was recorded at ddim10 — if the reduced
+    -step gate did NOT engage (bench will serve 100 steps), that evidence
+    must not enable int8 for the unevaluated 100-step+int8 config."""
+    _write_eval(tmp_path, "eval_final", 0.8)
+    _write_eval(tmp_path, "eval_int8", 0.75, quant="int8", act_steps="ddim10")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    assert bench.quant_choice(DIGEST, serve_steps="100") is None
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") == pytest.approx(0.75)
 
 
 def test_int8_ignores_stub_scores(tmp_path, monkeypatch):
     _write_eval(tmp_path, "eval_final", 0.8)
-    _write_eval(tmp_path, "eval_int8", 0.9, backend="stub")
+    _write_eval(tmp_path, "eval_int8", 0.9, backend="stub", quant="int8")
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
-    assert bench.quant_choice() is None
+    assert bench.quant_choice(DIGEST, serve_steps="ddim10") is None
+
+
+def test_headline_is_the_median_window():
+    """VERDICT r3 weak #2: best-of-N on a shared tunnel is self-flattery; the
+    headline must be the median of the timed windows."""
+    import inspect
+
+    src = inspect.getsource(bench.measure_tier)
+    assert "np.median" in src
+    assert "max(window_rates)" not in src.split("np.median")[0]
+
+
+def test_pick_deployed_ckpt_prefers_evidence(tmp_path, monkeypatch):
+    """The measured checkpoint and the gating evidence must be the same
+    artifact: a candidate with digest-matched evidence wins over an earlier
+    candidate without any."""
+    from unified_video_action_tpu.utils.ckpt_id import ckpt_digest
+
+    stage2 = tmp_path / "data/outputs/pusht_small_stage2/checkpoints/latest"
+    export = tmp_path / bench.EXPORT_DIR / "latest"
+    for d, content in ((stage2, b"new-weights"), (export, b"exported-weights")):
+        d.mkdir(parents=True)
+        (d / "w.bin").write_bytes(content)
+    _write_eval(tmp_path, "eval_final", 0.8, digest=ckpt_digest(str(export)),
+                root=bench.EXPORT_DIR)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("UVA_DEPLOYED_SCORE_JSON", raising=False)
+    monkeypatch.delenv("UVA_DEPLOYED_CKPT", raising=False)
+    ckpt, digest, quality = bench.pick_deployed_ckpt()
+    assert ckpt == os.path.join(bench.EXPORT_DIR, "latest")
+    assert digest == ckpt_digest(str(export))
+    assert quality == pytest.approx(0.8)
+
+    # no evidence anywhere -> first existing candidate, quality None
+    (tmp_path / bench.EXPORT_DIR / "eval_final/eval_log_x.json").unlink()
+    ckpt, digest, quality = bench.pick_deployed_ckpt()
+    assert ckpt == "data/outputs/pusht_small_stage2/checkpoints/latest"
+    assert quality is None

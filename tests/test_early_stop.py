@@ -71,3 +71,26 @@ def test_no_early_stop_while_improving(tmp_path, monkeypatch):
     metrics = ws.run()
     assert len(calls) == 4  # ran to num_epochs; never stopped
     assert "early_stopped" not in metrics
+
+
+@pytest.mark.slow
+def test_stub_backend_scores_never_trip_early_stop(tmp_path, monkeypatch):
+    """ADVICE r3: stub-env scores are a policy-independent seed schedule
+    (effectively constant) — with patience set, a stub fallback must not
+    halt the run after `patience` meaningless rollouts."""
+    from unified_video_action_tpu.runners import base as runners_base
+    from unified_video_action_tpu.training.workspace import TrainWorkspace
+
+    calls = []
+
+    def fake_rollout(policy, params, runner, key):
+        calls.append(len(calls))
+        return {"test/mean_score": 0.3, "env_backend": "stub:libero"}
+
+    monkeypatch.setattr(runners_base, "env_rollout", fake_rollout)
+
+    cfg = _non_debug(_tiny_cfg(tmp_path), tmp_path, epochs=5, patience=2)
+    ws = TrainWorkspace(cfg, output_dir=str(tmp_path / "run"))
+    metrics = ws.run()
+    assert len(calls) == 5  # constant stub scores, yet the run completed
+    assert "early_stopped" not in metrics

@@ -42,6 +42,35 @@ def test_video_fvd_pixel_fallback():
     assert abs(out["video_fvd"] if "video_fvd" in out else out["video_fvd_pixel"]) < 1e-6
 
 
+def test_vae_latent_embeddings_shape_and_moments():
+    from unified_video_action_tpu.eval.metrics import vae_latent_embeddings
+
+    rng = np.random.RandomState(3)
+    z = rng.randn(6, 4, 16, 6, 6).astype(np.float32)
+    e = vae_latent_embeddings(z)
+    assert e.shape == (6, 2 * 4 * 16)
+    # first half = spatial means, second half = spatial stds
+    np.testing.assert_allclose(e[0, 0], z[0, 0, 0].mean(), rtol=1e-5)
+    np.testing.assert_allclose(e[0, 64], z[0, 0, 0].std(), rtol=1e-5)
+
+
+def test_vae_latent_frechet_orders_by_corruption():
+    """The metric must rank a lightly-corrupted latent set closer to the real
+    one than a heavily-corrupted set — the property the raw-pixel fallback
+    lost in practice (TRAINRUN r3: pixel-FVD rose while the loss improved)."""
+    from unified_video_action_tpu.eval.metrics import vae_latent_embeddings
+
+    rng = np.random.RandomState(4)
+    real = rng.randn(64, 4, 16, 6, 6).astype(np.float32)
+    e_real = vae_latent_embeddings(real)
+    prev = 0.0
+    for noise in (0.1, 0.5, 2.0):
+        pred = real + noise * rng.randn(*real.shape).astype(np.float32)
+        d = frechet_distance(e_real, vae_latent_embeddings(pred))
+        assert d > prev, f"noise {noise}: distance {d} not > {prev}"
+        prev = d
+
+
 def test_keypoint_overlay_video(tmp_path):
     """human_pp keypoints.eval mode: gt/pred overlay gif written from frames
     + action chunks (reference eval/eval.py keypoint branch)."""

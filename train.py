@@ -39,6 +39,22 @@ def main(argv=None):
         config_root=args.config_root or CONFIG_ROOT,
     )
 
+    # video-only runs (stage 1) have no rollout score to monitor: switch the
+    # top-k checkpointer to the video-quality metric, as the reference does
+    # (train.py:35-41 forces FVD monitoring when predict_action=False). The
+    # monitored key is the VAE-latent Fréchet — the deterministic fallback
+    # that exists without I3D weights (eval/metrics.vae_latent_embeddings).
+    ap = (
+        cfg.get("model", {}).get("policy", {}).get("action_model_params", {})
+        or {}
+    )
+    monitor = cfg.get("checkpoint", {}).get("topk", {}).get("monitor_key")
+    if not ap.get("predict_action", True) and monitor == "test_mean_score":
+        topk = cfg["checkpoint"]["topk"]
+        topk["monitor_key"] = "video_fvd_vae"
+        topk["mode"] = "min"
+        topk["format_str"] = "epoch={epoch:04d}-video_fvd_vae={video_fvd_vae:.3f}"
+
     # multi-host: `distributed.coordinator=<host:port> distributed.num_processes=N
     # distributed.process_id=i` overrides, or the standard cluster env vars
     # (jax.distributed auto-detection) when a coordinator address is present

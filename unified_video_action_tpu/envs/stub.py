@@ -89,6 +89,19 @@ class StubLiberoEnv:
     def check_success(self) -> bool:
         return self._sim.success
 
+    def set_init_state(self, init_state):
+        """Real-API parity (reference env/libero/envs/env_wrapper.py:139-147:
+        ``set_init_state`` regenerates obs from a mujoco state): the stub
+        records the state, derives a deterministic success schedule from it,
+        and returns the regenerated obs."""
+        self.init_state = np.asarray(init_state)
+        self._sim = _StubSim(
+            int(abs(float(self.init_state.flat[0])) * 1000) % 100000,
+            self._sim.image_hw,
+            self._sim.action_dim,
+        )
+        return self._obs()
+
     def _obs(self) -> Dict[str, np.ndarray]:
         return {"agentview_image": self._sim.image()}
 
@@ -124,6 +137,18 @@ class StubRobosuiteEnv:
     def reset_to(self, state: dict):
         self.init_state = np.asarray(state["states"])
         self._sim.reset()
+        return self._obs()
+
+    def get_state(self) -> dict:
+        """Real-API parity (robomimic EnvRobosuite.get_state, used by the
+        reference wrapper's seed->state cache,
+        robomimic_image_wrapper.py:86-89): returns a dict with a ``states``
+        vector that round-trips through ``reset_to``."""
+        return {"states": np.array([float(self._sim.seed_val)], np.float64)}
+
+    def get_observation(self) -> Dict[str, np.ndarray]:
+        """Real-API parity (EnvRobosuite.get_observation, reference
+        robomimic_image_wrapper.py:55-57)."""
         return self._obs()
 
     def step(self, action):

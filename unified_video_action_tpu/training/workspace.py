@@ -377,6 +377,16 @@ class TrainWorkspace:
                 "epoch_time": time.time() - t0,
                 **{k: float(v) for k, v in m.items()},
             }
+            # device memory observability (HBM headroom for scale checks);
+            # not every backend reports stats — never let this kill training
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                if "bytes_in_use" in ms:
+                    step_log["hbm_bytes_in_use"] = int(ms["bytes_in_use"])
+                if "peak_bytes_in_use" in ms:
+                    step_log["hbm_peak_bytes"] = int(ms["peak_bytes_in_use"])
+            except Exception:
+                pass
 
             # periodic video-generation FVD (reference workspace :350-359)
             sample_every = 1 if debug else int(tcfg.get("sample_every", 5))
@@ -447,7 +457,21 @@ class TrainWorkspace:
                     {k: v for k, v in runner_log.items() if "mean_score" in k}
                 )
                 step_log["test_mean_score"] = runner_log.get("test/mean_score", 0.0)
-                if early_stop_patience is not None:
+                # stub-backend rollout scores are a policy-independent seed
+                # schedule (envs/stub.py): feeding them to the patience
+                # counter would halt a long run after `patience` meaningless
+                # rollouts (ADVICE r3) — warn once and skip the update
+                if early_stop_patience is not None and "stub" in str(
+                    runner_log.get("env_backend", "")
+                ):
+                    if not early.get("stub_warned"):
+                        early["stub_warned"] = True
+                        print(
+                            "[early-stop] env runner fell back to the stub"
+                            " backend; its scores are policy-independent —"
+                            " early stopping disabled for this run"
+                        )
+                elif early_stop_patience is not None:
                     score = step_log["test_mean_score"]
                     if score > early["best"]:
                         early["best"], early["stale"] = score, 0
@@ -466,7 +490,10 @@ class TrainWorkspace:
             logger.log(step_log, step=self.global_step)
             tracker.log(step_log, step=self.global_step)
             fvd_grid = os.path.join(self.output_dir, "media", "real_vs_pred.gif")
-            if "video_fvd" in step_log or "video_fvd_pixel" in step_log:
+            if any(
+                k in step_log
+                for k in ("video_fvd", "video_fvd_pixel", "video_fvd_vae")
+            ):
                 tracker.log_video("eval/video_grid", fvd_grid, step=self.global_step)
             last_metrics = step_log
 
