@@ -22,6 +22,31 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def tied_dropout(
+    module: nn.Module, x: Array, rate: float, deterministic: bool
+) -> Array:
+    """Dropout whose mask generation is data-dependent on ``x``.
+
+    ``nn.Dropout``'s mask depends only on the fold-in RNG key, so XLA's
+    scheduler is free to hoist every block's mask generation to program
+    start — at mar_base/256px each attention mask's raw bits are a
+    u32[B, H, 1024, 1024] temp (768 MB at B=16), and with all ~24 blocks'
+    bits coexisting the program needs >25 GB HBM and fails to compile
+    (artifacts/round4/mar_base_256_gc_on_b16.log). An
+    ``optimization_barrier`` tying the key to the block input makes each
+    mask's lifetime track its block, so peak temp memory is one mask.
+
+    Distribution-identical to ``nn.Dropout`` (same ``make_rng('dropout')``
+    stream, same bernoulli draw, same 1/keep scaling).
+    """
+    if deterministic or rate == 0.0:
+        return x
+    rng = module.make_rng("dropout")
+    rng, x = jax.lax.optimization_barrier((rng, x))
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 class QuantDense(nn.Module):
     """Dense layer that runs its matmul int8 on the MXU (W8A8 serving).
 
@@ -105,12 +130,12 @@ class MultiHeadAttention(nn.Module):
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
                 self.dtype
             )
-            attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+            attn = tied_dropout(self, attn, self.attn_dropout, deterministic)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
         out = out.reshape(B, N, D)
         out = dense(D, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
+        out = tied_dropout(self, out, self.proj_dropout, deterministic)
         return out
 
 
@@ -143,7 +168,7 @@ class ViTBlock(nn.Module):
         h = dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
-        h = nn.Dropout(self.proj_dropout, deterministic=deterministic)(h)
+        h = tied_dropout(self, h, self.proj_dropout, deterministic)
         return x + h
 
 
