@@ -41,6 +41,7 @@ if [ ! -d data/outputs/pusht4b_stage1/checkpoints/latest ]; then
             training.num_epochs="${STAGE1_EPOCHS:-6}" \
             training.rollout_every=1000 \
             training.sample_every=1 \
+            training.checkpoint_every=1 \
             output_dir=data/outputs/pusht4b_stage1 \
             >> "$LOG/stage1.log" 2>&1
         RC=$?
