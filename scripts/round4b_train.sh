@@ -83,8 +83,14 @@ for attempt in 1 2 3; do
     [ "$attempt" -lt 3 ] && MAX_WAIT=7200 bash scripts/tpu_watch.sh >> "$LOG/seq.log" 2>&1
 done
 if [ "$STAGE2_OK" -ne 1 ]; then
-    note "stage 2 never exited 0 — skipping export/eval/bench"
-    exit 1
+    # a timeout mid-run still leaves topk checkpoints worth exporting —
+    # only bail when stage 2 produced nothing at all
+    if ls data/outputs/pusht4b_stage2/checkpoints/epoch=* >/dev/null 2>&1; then
+        note "stage 2 did not exit 0 but topk checkpoints exist — exporting best anyway"
+    else
+        note "stage 2 never exited 0 and left no checkpoints — skipping export/eval/bench"
+        exit 1
+    fi
 fi
 
 # best top-k checkpoint by the monitored score, numerically
@@ -121,6 +127,17 @@ cp data/outputs/pusht4b_stage2/logs.jsonl artifacts/round4/stage2b_logs.jsonl 2>
 cp data/outputs/eval_final/eval_log_*.json artifacts/round4/ 2>/dev/null
 cp data/pusht_demos_merged_meta.json artifacts/round4/ 2>/dev/null
 cp "$LOG/seq.log" artifacts/round4/sequence_b.log 2>/dev/null
+
+# ---- commit the export + digest-stamped evidence (survives data/ wipes;
+# the round-3 headline died because exactly this was left untracked) -------
+SCORE=$(python3 -c "
+import glob, json
+logs = sorted(glob.glob('$EXPORT/eval_final/eval_log_*.json'))
+print(json.load(open(logs[-1])).get('test_mean_score') if logs else 'none')" 2>/dev/null)
+note "committing export + eval evidence (eval_final score: $SCORE)"
+git add -A "$EXPORT" artifacts/round4 2>> "$LOG/seq.log"
+git commit -m "Round-4 flagship retrain: export + 50-seed eval evidence (score $SCORE)" \
+    >> "$LOG/seq.log" 2>&1 || note "git commit failed or nothing to commit"
 
 note "bench.py (deployed tier from the export)"
 timeout 3600 python -u bench.py > artifacts/round4/bench_line.json 2> "$LOG/bench.err"
