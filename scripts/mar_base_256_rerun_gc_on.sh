@@ -5,6 +5,7 @@
 # (16,12,1024,1024) u32 dropout-mask bits to program start. Appends the
 # post-fix case to artifacts/round4/mar_base_256_viability.json.
 set -u
+export STEPS=${STEPS:-20}
 cd "$(dirname "$0")/.."
 OUT=artifacts/round4
 SUMMARY="$OUT/mar_base_256_viability.json"
@@ -13,7 +14,7 @@ dir=data/outputs/mar_base_256_viability_$name
 rm -rf "$dir"
 echo "[viability] case $name (grad_checkpointing=true batch=16, tied dropout)"
 T0=$(date +%s)
-timeout 3000 python -u train.py --config-name=uva_pusht \
+timeout ${CASE_TIMEOUT:-1800} python -u train.py --config-name=uva_pusht \
     model.policy.autoregressive_model_params.pretrained_model_path=null \
     model.policy.autoregressive_model_params.grad_checkpointing=true \
     model.policy.vae_model_params.autoencoder_path=null \
@@ -21,7 +22,7 @@ timeout 3000 python -u train.py --config-name=uva_pusht \
     model.policy.selected_training_mode=policy_model_full_dynamics_model \
     task.dataset.dataset_path=data/pusht_demos.h5 \
     training.num_epochs=2 \
-    training.max_train_steps=50 \
+    training.max_train_steps=${STEPS:-20} \
     training.rollout_every=1000 training.sample_every=1000 \
     training.val_every=1000 training.checkpoint_every=1000 \
     training.resume=false \
@@ -41,7 +42,7 @@ python3 - "$name" "$status" "$WALL" "$OUT/mar_base_256_${name}_logs.jsonl" "$SUM
 import json, sys, os
 name, status, wall, logs, summary = sys.argv[1:6]
 rec = {"case": name, "grad_checkpointing": True, "batch": 16,
-       "tied_dropout": True, "status": status, "wall_s": int(wall)}
+       "tied_dropout": True, "steps": int(os.environ.get("STEPS","20")), "status": status, "wall_s": int(wall)}
 if os.path.exists(logs):
     for r in (json.loads(l) for l in open(logs)):
         ep = r.get("epoch")
@@ -50,7 +51,7 @@ if os.path.exists(logs):
             if "hbm_peak_bytes" in r:
                 rec[f"epoch{int(ep)}_hbm_peak_gb"] = round(r["hbm_peak_bytes"] / 2**30, 2)
     if "epoch1_time_s" in rec:
-        rec["steady_step_ms"] = round(rec["epoch1_time_s"] / 50 * 1000, 1)
+        rec["steady_step_ms"] = round(rec["epoch1_time_s"] / float(os.environ.get("STEPS", "20")) * 1000, 1)
 cases = json.load(open(summary)) if os.path.exists(summary) else []
 cases = [c for c in cases if c.get("case") != name] + [rec]
 json.dump(cases, open(summary, "w"), indent=1)

@@ -72,7 +72,7 @@ for attempt in 1 2 3; do
         model.policy.autoregressive_model_params.pretrained_model_path=data/outputs/pusht4b_stage1/checkpoints/latest \
         task.dataset.dataset_path="$DEMOS" \
         training.num_epochs="${STAGE2_EPOCHS:-36}" \
-        training.rollout_every=4 \
+        training.rollout_every="${ROLLOUT_EVERY:-4}" \
         training.early_stop_patience="${PATIENCE:-3}" \
         checkpoint.topk.k=2 \
         output_dir=data/outputs/pusht4b_stage2 \
