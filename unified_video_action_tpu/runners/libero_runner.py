@@ -68,11 +68,35 @@ class LiberoImageRunner(BaseImageRunner):
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
         self.bddl_file = bddl_file
-        if env_backend not in ("libero", "stub"):
+        if env_backend not in ("libero", "stub", "kitchen"):
             raise ValueError(f"unknown env_backend {env_backend!r}")
         self.env_backend = env_backend
+        if env_backend == "kitchen":
+            # real mujoco physics + native software rendering
+            # (envs/kitchen_env.py); task resolved from the dataset name
+            from unified_video_action_tpu.envs.kitchen_env import (
+                KITCHEN_TASK_PROMPTS,
+                task_from_name,
+            )
+
+            self.kitchen_task = kwargs.get("kitchen_task") or task_from_name(
+                dataset_path
+            )
+            if self.kitchen_task is None:
+                raise ValueError(
+                    f"cannot resolve a kitchen task from {dataset_path!r}"
+                )
+            self.language_goal = KITCHEN_TASK_PROMPTS[self.kitchen_task]
+            # kitchen actions are 9-dim joint velocities, not pose+rot6d
+            self.abs_action = False
 
     def _make_raw_env(self):
+        if self.env_backend == "kitchen":
+            from unified_video_action_tpu.envs.kitchen_env import KitchenImageEnv
+
+            return KitchenImageEnv(
+                tasks=[self.kitchen_task], camera_heights=128, camera_widths=128
+            )
         if self.env_backend == "stub":
             from unified_video_action_tpu.envs.stub import StubLiberoEnv
 
@@ -202,6 +226,15 @@ def make_libero_runners(
     files = sorted(glob.glob(os.path.join(dataset_dir or "", "*.hdf5")))
     if not files and env_backend == "stub":
         files = [name + ".hdf5" for name in LIBERO10_TASK_NAMES]
+    if not files and env_backend == "kitchen":
+        from unified_video_action_tpu.envs.kitchen_env import (
+            KITCHEN_TASK_PROMPTS,
+            _slug,
+        )
+
+        files = [
+            f"kitchen_{_slug(t)}_demo.hdf5" for t in KITCHEN_TASK_PROMPTS
+        ]
     return [
         LiberoImageRunner(path, output_dir=output_dir, env_backend=env_backend,
                           **kwargs)
