@@ -204,8 +204,8 @@ class SceneRenderer:
                     pass  # explicit geom colour
                 else:
                     rgba = mat_rgba.copy()
-            if rgba[3] <= 0.05:  # invisible (collision-only) geoms
-                continue
+            if rgba[3] <= 0.25:  # invisible / debug-overlay geoms (no alpha
+                continue         # blending here: drawing them opaque is worse)
             if int(model.geom_group[g]) not in groups:
                 continue
             t = int(model.geom_type[g])
@@ -291,8 +291,11 @@ class SceneRenderer:
 
     # -- rendering ----------------------------------------------------------
 
-    def render(self, data, camera=None) -> np.ndarray:
-        if len(self.faces) == 0:
+    def render(self, data, camera=None, markers=()) -> np.ndarray:
+        """Render the scene; ``markers`` is an optional sequence of
+        ``{"pos": [3], "size": r, "rgba": [3 or 4]}`` world-space spheres
+        (e.g. goal sites, which are not geoms)."""
+        if len(self.faces) == 0 and not markers:
             img = np.empty((self.height, self.width, 3), np.uint8)
             img[:] = self.background
             return img.copy()
@@ -305,6 +308,24 @@ class SceneRenderer:
             np.einsum("nij,nj->ni", mats, self.local_verts)
             + gp[self.vert_geom]
         )
+        faces, face_rgb = self.faces, self.face_rgb
+        if markers:
+            mv, mf, mc = [world], [faces], [face_rgb]
+            nv = len(world)
+            sv, sf = _MARKER_SPHERE
+            for mk in markers:
+                r = float(mk.get("size", 0.02))
+                mv.append(sv * r + np.asarray(mk["pos"], np.float32))
+                mf.append(sf + nv)
+                mc.append(
+                    np.tile(
+                        np.asarray(mk["rgba"][:3], np.float32), (len(sf), 1)
+                    )
+                )
+                nv += len(sv)
+            world = np.concatenate(mv, 0)
+            faces = np.ascontiguousarray(np.concatenate(mf, 0))
+            face_rgb = np.ascontiguousarray(np.concatenate(mc, 0))
         # world -> camera (x right, y up, -z forward) -> render frame
         # (+z forward, +y down to match image rows)
         cam = (world - eye.astype(np.float32)) @ R.astype(np.float32)
@@ -322,8 +343,8 @@ class SceneRenderer:
         lib = get_lib()
         if lib is not None:
             lib.uva_raster3d(
-                cam, np.int32(len(cam)), self.faces, self.face_rgb,
-                np.int32(len(self.faces)), np.int32(H), np.int32(W),
+                cam, np.int32(len(cam)), faces, face_rgb,
+                np.int32(len(faces)), np.int32(H), np.int32(W),
                 np.float32(fx), np.float32(fy), np.float32(cx),
                 np.float32(cy), np.float32(0.02), light,
                 np.float32(0.45), np.float32(0.55),
@@ -331,9 +352,13 @@ class SceneRenderer:
             )
             return self._rgb.copy()
         return _raster_numpy(
-            cam, self.faces, self.face_rgb, H, W, fx, fy, cx, cy, 0.02,
+            cam, faces, face_rgb, H, W, fx, fy, cx, cy, 0.02,
             light, 0.45, 0.55, self.background,
         )
+
+
+#: shared low-poly unit sphere for render-time marker injection
+_MARKER_SPHERE = _uv_sphere(1.0, stacks=6, slices=8)
 
 
 def _raster_numpy(cam, faces, face_rgb, H, W, fx, fy, cx, cy, znear, light,

@@ -109,9 +109,13 @@ class RobomimicImageRunner(BaseImageRunner):
         self.n_obs_steps = n_obs_steps
         self.n_action_steps = n_action_steps
         self.abs_action = abs_action
-        if env_backend not in ("robosuite", "stub"):
+        if env_backend not in ("robosuite", "stub", "fetch"):
             raise ValueError(f"unknown env_backend {env_backend!r}")
         self.env_backend = env_backend
+        if env_backend == "fetch":
+            # real mujoco Fetch physics + native software rendering
+            # (envs/fetch_env.py); 4-dim delta actions, so no rot6d undo
+            self.abs_action = False
         self.rot_tf = RotationTransformer("axis_angle", "rotation_6d")
 
     def undo_transform_action(self, action: np.ndarray) -> np.ndarray:
@@ -129,6 +133,10 @@ class RobomimicImageRunner(BaseImageRunner):
             from unified_video_action_tpu.envs.stub import StubRobosuiteEnv
 
             return lambda seed=0: StubRobosuiteEnv(self.shape_meta, seed=seed)
+        if self.env_backend == "fetch":
+            from unified_video_action_tpu.envs.fetch_env import FetchImageEnv
+
+            return lambda seed=0: FetchImageEnv(self.shape_meta, seed=seed)
         _require_robosuite()
         import robomimic.utils.env_utils as EnvUtils
         import robomimic.utils.file_utils as FileUtils
@@ -156,6 +164,19 @@ class RobomimicImageRunner(BaseImageRunner):
             return states
         if self.env_backend == "stub":
             return [np.zeros(1, np.float32) for _ in range(self.n_train)]
+        if self.env_backend == "fetch":
+            # no demo file staged: draw seeded initial states from the real
+            # env so train/ episodes still exercise the reset_to path
+            from unified_video_action_tpu.envs.fetch_env import FetchImageEnv
+
+            env = FetchImageEnv(self.shape_meta)
+            states = []
+            for i in range(self.n_train):
+                np.random.seed(self.train_start_idx + i)
+                env.reset()
+                states.append(env.get_state()["states"])
+            env.close()
+            return states
         raise FileNotFoundError(self.dataset_path)
 
     def _make_envs(self):
