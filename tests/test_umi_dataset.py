@@ -70,3 +70,21 @@ def test_multi_dataset(buf):
     n = m.get_normalizer()
     a = n["action"].normalize(item["action"])
     np.testing.assert_allclose(a, item["action"])  # identity for umi
+
+
+def test_trainer_dataset_surface(buf):
+    """The trainer calls get_validation_dataset() on every dataset family
+    (workspace.py:116) — the UMI classes must expose the BaseImageDataset
+    surface, not just split_val (regression: round-4 chip drive crashed
+    here)."""
+    lazy = UmiLazyDataset(buf, val_ratio=0.34)
+    m = UmiMultiDataset(
+        {"cup": UmiLazyDataset(buf, name="cup", val_ratio=0.34)},
+        language_prompts={"cup": "pick up the cup"},
+    )
+    for ds in (lazy, m):
+        va = ds.get_validation_dataset()
+        assert len(va) > 0
+        # identical item schema: the val loop feeds the same train_step
+        assert set(va[0].keys()) == set(ds[0].keys())
+        assert va[0]["action"].shape == ds[0]["action"].shape

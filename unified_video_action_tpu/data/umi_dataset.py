@@ -125,6 +125,10 @@ class UmiLazyDataset:
     def split_val(self) -> "UmiLazyDataset":
         return dataclasses.replace(self, split="val")
 
+    # BaseImageDataset surface name (reference dataset/base_dataset.py:7-76)
+    def get_validation_dataset(self) -> "UmiLazyDataset":
+        return self.split_val()
+
     def _gather(self, key: str, ep: int, t: int, rel_indices: Sequence[int]):
         L = int(self.episode_lengths[ep])
         start = int(self.episode_starts[ep])
@@ -240,10 +244,20 @@ class UmiMultiDataset:
         return item
 
     def split_val(self) -> "UmiMultiDataset":
-        return UmiMultiDataset(
+        # carry the precomputed latents over — val items must have the same
+        # schema as train items (the val loop feeds the same train_step)
+        val = UmiMultiDataset(
             {k: v.split_val() for k, v in self.datasets.items()},
             language_prompts=None,
         )
+        val.language_latents = self.language_latents
+        return val
+
+    # BaseImageDataset surface name (reference dataset/base_dataset.py:7-76)
+    # — the trainer calls get_validation_dataset() on every dataset family;
+    # for UMI it is the unused-episode split (umi_multi_dataset.py:150-166).
+    def get_validation_dataset(self) -> "UmiMultiDataset":
+        return self.split_val()
 
     def get_normalizer(self):
         """normalizer_type 'none' for umi (task/umi_multi.yaml:
