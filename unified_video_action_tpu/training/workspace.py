@@ -583,8 +583,21 @@ class TrainWorkspace:
 
 
 def _to_jax_batch(batch):
+    """Numeric leaves -> jnp arrays; host-only string fields (e.g. the UMI
+    items' ``dataset_name``) are dropped — they exist for host bookkeeping
+    and are not valid device arrays."""
+    import numpy as np
     import jax.numpy as jnp
 
+    def keep(x):
+        return np.asarray(x).dtype.kind not in ("U", "S", "O")
+
+    if isinstance(batch, dict):
+        return {
+            k: _to_jax_batch(v) if isinstance(v, dict) else jnp.asarray(v)
+            for k, v in batch.items()
+            if isinstance(v, dict) or keep(v)
+        }
     return jax.tree.map(jnp.asarray, batch)
 
 
