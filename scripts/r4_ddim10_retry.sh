@@ -5,7 +5,7 @@ set -u
 cd "$(dirname "$0")/.."
 EXPORT=pretrained_models/uva_pusht_small
 rm -rf data/outputs/eval_ddim10
-timeout 1500 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_ddim10 \
+timeout -k 120 1500 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_ddim10 \
     task.env_runner.n_test=50 task.env_runner.n_train=0 \
     task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
     task.env_runner.n_test_vis=0 task.env_runner.n_train_vis=0 \

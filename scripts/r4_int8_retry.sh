@@ -7,7 +7,7 @@ STEPS=${1:?pass act_steps (ddim10 or 100)}
 cd "$(dirname "$0")/.."
 EXPORT=pretrained_models/uva_pusht_small
 rm -rf data/outputs/eval_int8
-timeout 1500 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_int8 \
+timeout -k 120 1500 python -u eval_sim.py -c "$EXPORT/latest" -o data/outputs/eval_int8 \
     task.env_runner.n_test=50 task.env_runner.n_train=0 \
     task.env_runner.n_streams=2 task.env_runner.latent_cache=true \
     task.env_runner.n_test_vis=0 task.env_runner.n_train_vis=0 \

@@ -38,7 +38,7 @@ EOF
 
 echo "[umi] stage-1 training, 2 epochs, process-worker loader, real chip"
 rm -rf data/outputs/umi_multi_chip
-timeout ${UMI_TIMEOUT:-5400} python -u train.py --config-name=uva_umi_multi \
+timeout -k 180 ${UMI_TIMEOUT:-5400} python -u train.py --config-name=uva_umi_multi \
     model.policy.selected_training_mode=video_model \
     model.policy.action_model_params.predict_action=false \
     model.policy.autoregressive_model_params.model_size=mar_small \

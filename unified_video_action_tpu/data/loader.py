@@ -40,8 +40,21 @@ def _process_worker(dataset, index_q, result_q):
     inherits the parent's atexit hooks and open resources (JAX runtime,
     pytest capture files, profilers) and running their teardown from the
     child corrupts the parent's state.
+
+    Signals are reset to the defaults FIRST: the fork also inherits the
+    trainer's SIGTERM preemption handler (a no-op flag set in the child's
+    copy), which made workers unkillable by ``Process.terminate()`` — the
+    parent's multiprocessing exit hook then joined them forever (observed
+    as the round-4 post-preemption wedge).
     """
     import os as _os
+    import signal as _signal
+
+    for _sig in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            _signal.signal(_sig, _signal.SIG_DFL)
+        except (ValueError, OSError):
+            pass
 
     rc = 0
     try:
@@ -85,6 +98,11 @@ class DataLoader:
         self.worker_mode = worker_mode
         self._epoch = 0
         self._seed = seed
+        # Cooperative shutdown: when set (e.g. by a SIGTERM preemption
+        # handler), iterators stop waiting on worker results and exit at
+        # the next poll window instead of blocking indefinitely — a stalled
+        # data path must never outlive the preemption grace period.
+        self.stop_event = threading.Event()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -137,7 +155,12 @@ class DataLoader:
         t.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if self.stop_event.is_set():
+                        return
+                    continue
                 if item is None:
                     break
                 yield item
@@ -192,6 +215,8 @@ class DataLoader:
                         batch_id, batch, err = result_q.get(timeout=5.0)
                         break
                     except queue.Empty:
+                        if self.stop_event.is_set():
+                            return  # preempted: finally shuts workers down
                         dead = [w.name for w in workers if not w.is_alive()]
                         if not dead:
                             continue

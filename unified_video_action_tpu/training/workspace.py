@@ -67,13 +67,50 @@ class TrainWorkspace:
         # also caught — the epoch loop then exits immediately and the final
         # checkpoint save still runs. The reference has no equivalent
         # (SURVEY §5.3).
+        import os as _os
         import signal as _signal
+        import threading as _threading
 
         preempted = {"flag": False}
         prev_handlers = {}
+        # Events the handler sets so blocked data-path waits unblock promptly
+        # (populated once the loaders exist); and a watchdog so a step wedged
+        # inside a non-returning runtime call (a dead device tunnel, a hung
+        # collective) can never outlive the preemption grace window — the
+        # orderly path saves a checkpoint and disarms; otherwise we force-exit
+        # and the supervisor resumes from the last epoch checkpoint. Observed
+        # in the round-4 UMI chip drive: SIGTERM mid-epoch with the step
+        # pipeline blocked left the process alive 15 min until SIGKILL.
+        preempt_stop_events = []
+        shutdown_done = _threading.Event()
+
+        def _watchdog():
+            grace = float(_os.environ.get("UVA_PREEMPT_GRACE_S", "600"))
+            if not shutdown_done.wait(grace):
+                print(
+                    f"[preempt] orderly shutdown did not finish within "
+                    f"{grace:.0f}s grace; forcing exit (resume will replay "
+                    f"from the last epoch checkpoint)",
+                    flush=True,
+                )
+                _os._exit(75)  # EX_TEMPFAIL: retryable
+            # The checkpoint is durable now, but interpreter exit can still
+            # hang (tracker/logger close, atexit joins on wedged threads or
+            # children). Nothing useful happens after this point — bound it.
+            import time as _time
+
+            _time.sleep(float(_os.environ.get("UVA_EXIT_GRACE_S", "120")))
+            print("[preempt] teardown lingered after checkpoint commit; "
+                  "forcing clean exit", flush=True)
+            _os._exit(0)
 
         def _on_preempt(signum, frame):
+            first = not preempted["flag"]
             preempted["flag"] = True
+            for ev in preempt_stop_events:
+                ev.set()
+            if first:
+                _threading.Thread(target=_watchdog, daemon=True).start()
 
         for sig in (_signal.SIGTERM, _signal.SIGINT):
             try:
@@ -129,6 +166,7 @@ class TrainWorkspace:
             val_dataset, batch_size, shuffle=False, drop_last=False,
             num_workers=2, worker_mode=worker_mode, prefetch=loader_prefetch,
         )
+        preempt_stop_events += [loader.stop_event, val_loader.stop_event]
 
         # mesh + optimizer + state: the data axis can't exceed the batch size
         # (debug runs shrink the batch below the device count)
@@ -539,6 +577,7 @@ class TrainWorkspace:
         for sig, h in prev_handlers.items():
             _signal.signal(sig, h)
         ckpt_lib.wait_for_checkpoints()  # commit any in-flight async save
+        shutdown_done.set()  # disarm the preemption watchdog: ckpt durable
         logger.close()
         tracker.finish()
         self.state = state
