@@ -68,7 +68,10 @@ def test_video_fvd(
     for bi, batch in enumerate(val_batches):
         if bi >= num_batches:
             break
-        image = image_util.to_unit_float(jnp.asarray(batch["obs"]["image"]))
+        obs_in = image_util.remap_image_keys(
+            policy.task_name, dict(batch["obs"])
+        )
+        image = image_util.to_unit_float(jnp.asarray(obs_in["image"]))
         image = image_util.resize_video(image, c.img_size)
         T = image.shape[1]
         idx = frame_util.select_frame_indices(T, eval=False)
@@ -151,7 +154,7 @@ def test_action_l2(
     for bi, batch in enumerate(val_batches):
         if bi >= num_batches:
             break
-        obs = batch["obs"]
+        obs = image_util.remap_image_keys(policy.task_name, dict(batch["obs"]))
         T = obs["image"].shape[1]
         obs_dict = {k: np.asarray(v[:, : T // 2]) for k, v in obs.items()}
         key, sub = jax.random.split(key)

@@ -184,6 +184,20 @@ class UnifiedVideoActionPolicy:
             self.task_modes = ("policy_model", "full_dynamic_model")
         else:
             self.task_modes = (selected_training_mode,)
+        if not self.mar_cfg.predict_action:
+            # action-only modes produce a zero loss with no action head
+            # (stage-1 video training) — drawing them would silently waste
+            # steps; the reference avoids this only by script convention
+            kept = tuple(
+                m for m in self.task_modes
+                if m not in ("policy_model", "inverse_model")
+            )
+            if kept != self.task_modes:
+                print(
+                    "[policy] predict_action=false: dropping action-only "
+                    f"task modes {set(self.task_modes) - set(kept)}"
+                )
+                self.task_modes = kept or ("video_model",)
 
         self.normalizer = LinearNormalizer(
             {"action": NormalizerField.identity(self.action_dim)}

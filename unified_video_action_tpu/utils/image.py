@@ -19,6 +19,9 @@ Array = jax.Array
 # per-task main/wrist camera key remaps (reference data_utils.py:19-125)
 TASK_IMAGE_KEYS = {
     "libero": {"agentview_rgb": "image", "agentview_image": "image"},
+    # kitchen suite reuses the LIBERO demo/obs conventions
+    # (envs/kitchen_env.py, scripts/gen_kitchen_demos.py)
+    "kitchen": {"agentview_rgb": "image", "agentview_image": "image"},
     "umi": {"camera0_rgb": "image"},
     "toolhang": {
         "sideview_image": "image",
