@@ -271,3 +271,40 @@ def test_pick_deployed_ckpt_prefers_evidence(tmp_path, monkeypatch):
     ckpt, digest, quality = bench.pick_deployed_ckpt()
     assert ckpt == "data/outputs/pusht_small_stage2/checkpoints/latest"
     assert quality is None
+
+
+def test_deployed_arch_follows_checkpoint_cfg(tmp_path):
+    """The deployed tier must serve the architecture recorded in the served
+    checkpoint's embedded cfg: the round-4 export is mar_base-width (12+12
+    blocks) while bench's fallback default is mar_small (6+6) — loading the
+    former into the latter silently size-matches half the network and
+    attaches quality evidence the truncated program never earned."""
+    import json as _json
+
+    ckpt = tmp_path / "latest"
+    ckpt.mkdir()
+    (ckpt / "meta.json").write_text(_json.dumps({
+        "cfg": {"model": {"policy": {
+            "autoregressive_model_params": {
+                "model_size": "mar_base", "img_size": 96, "vae_stride": 16,
+                "patch_size": 1, "vae_embed_dim": 16,
+                "diffloss_d": 6, "diffloss_w": 1024,
+                "diffloss_act_d": 6, "diffloss_act_w": 1024,
+                "num_sampling_steps": "100", "temperature": 0.95,
+                "pretrained_model_path": "data/outputs/gone",
+            },
+            "vae_model_params": {"ddconfig": {
+                "vae_embed_dim": 16, "ch_mult": [1, 1, 2, 2, 4], "ch": 64,
+            }},
+        }}},
+    }))
+    policy, img_hw = bench.build_policy("deployed", ckpt=str(ckpt))
+    assert policy.mar_cfg.encoder_depth == 12
+    assert policy.mar_cfg.decoder_depth == 12
+    assert img_hw == 96
+    # the embedded pretrained path must never be re-resolved at serving time
+    assert policy.amp.get("pretrained_model_path") is None
+
+    # no checkpoint -> the documented mar_small fallback
+    policy, _ = bench.build_policy("deployed", ckpt=None)
+    assert policy.mar_cfg.encoder_depth == 6

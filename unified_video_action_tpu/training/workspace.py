@@ -125,6 +125,10 @@ class TrainWorkspace:
         num_epochs = 2 if debug else int(tcfg["num_epochs"])
         max_train_steps = 3 if debug else tcfg.get("max_train_steps")
         max_val_steps = 3 if debug else tcfg.get("max_val_steps")
+        # cadences <= 0 mean "never" (the modulo fires at epoch 0 otherwise,
+        # so e.g. rollout_every=1000 on a 2-epoch run still rolls out once —
+        # which is how the round-4 mar_base@256 viability matrix mistook an
+        # eval-phase OOM for a training one)
         rollout_every = 1 if debug else int(tcfg.get("rollout_every", 10))
         checkpoint_every = 1 if debug else int(tcfg.get("checkpoint_every", 10))
         val_every = 1 if debug else int(tcfg.get("val_every", 1))
@@ -430,6 +434,7 @@ class TrainWorkspace:
             sample_every = 1 if debug else int(tcfg.get("sample_every", 5))
             if (
                 self.policy.mar_cfg.predict_video
+                and sample_every > 0
                 and (self.epoch % sample_every) == 0
                 and len(val_loader) > 0
             ):
@@ -451,7 +456,7 @@ class TrainWorkspace:
             # validation: action-L2 over val split (reference test_action_l2);
             # in human_pp keypoints.eval mode the first batch also writes a
             # gt-vs-pred overlay video from the SAME prediction
-            if (self.epoch % val_every) == 0 and len(val_loader) > 0:
+            if val_every > 0 and (self.epoch % val_every) == 0 and len(val_loader) > 0:
                 kp_eval = bool(
                     cfg.get("task", {}).get("keypoints", {}).get("eval", False)
                 )
@@ -483,7 +488,11 @@ class TrainWorkspace:
                     )
 
             # rollout
-            if env_runner is not None and (self.epoch % rollout_every) == 0:
+            if (
+                env_runner is not None
+                and rollout_every > 0
+                and (self.epoch % rollout_every) == 0
+            ):
                 from unified_video_action_tpu.runners.base import env_rollout
 
                 eval_params = {
@@ -536,7 +545,7 @@ class TrainWorkspace:
             last_metrics = step_log
 
             # checkpoints
-            if (self.epoch % checkpoint_every) == 0:
+            if checkpoint_every > 0 and (self.epoch % checkpoint_every) == 0:
                 cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
                 ckpt_lib.save_checkpoint(
                     latest_path, state, cfg=cfg_dict,
@@ -564,7 +573,9 @@ class TrainWorkspace:
                 normalizer=self.policy.normalizer, epoch=self.epoch,
             )
             print(f"[preempt] checkpoint saved at epoch {self.epoch}; exiting")
-        elif num_epochs > 0 and (self.epoch - 1) % checkpoint_every != 0:
+        elif num_epochs > 0 and (
+            checkpoint_every <= 0 or (self.epoch - 1) % checkpoint_every != 0
+        ):
             # the run's final epoch (normal or early-stopped) falls between
             # periodic saves — always publish it as `latest` (the periodic
             # cadence is a crash-safety knob, not a statement about which
