@@ -57,7 +57,7 @@ V5E_BF16_PEAK = 197e12
 EXPORT_DIR = "pretrained_models/uva_pusht_small"
 
 
-def build_policy(tier, act_steps=None, quant=None, ckpt=None):
+def build_policy(tier, act_steps=None, quant=None, ckpt=None, codec=None):
     from unified_video_action_tpu.policy.policy import UnifiedVideoActionPolicy
 
     act_steps = act_steps or os.environ.get("UVA_ACT_STEPS", "100")
@@ -98,14 +98,33 @@ def build_policy(tier, act_steps=None, quant=None, ckpt=None):
         img_hw = 96  # PushT frames are 96 px at the source
         meta_path = os.path.join(ckpt or "", "meta.json")
         if ckpt and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                pcfg = json.load(f)["cfg"]["model"]["policy"]
-            amp.update(pcfg.get("autoregressive_model_params") or {})
-            amp["act_diff_testing_steps"] = act_steps
-            amp["pretrained_model_path"] = None  # weights load separately
-            ck_dd = (pcfg.get("vae_model_params") or {}).get("ddconfig")
-            if ck_dd:
-                dd = dict(ck_dd)
+            # Guarded parse (ADVICE r4): a meta.json without a cfg.model.policy
+            # must fall back to the defaults with a log line, not kill the
+            # whole bench with a KeyError — the skipped-leaf guard in
+            # load_deployed_params then refuses to call the merge "trained".
+            try:
+                with open(meta_path) as f:
+                    pcfg = (
+                        (json.load(f).get("cfg") or {})
+                        .get("model", {})
+                        .get("policy")
+                    )
+            except Exception as e:
+                pcfg = None
+                print(f"# unreadable {meta_path}: {e}", flush=True)
+            if pcfg:
+                amp.update(pcfg.get("autoregressive_model_params") or {})
+                amp["act_diff_testing_steps"] = act_steps
+                amp["pretrained_model_path"] = None  # weights load separately
+                ck_dd = (pcfg.get("vae_model_params") or {}).get("ddconfig")
+                if ck_dd:
+                    dd = dict(ck_dd)
+            else:
+                print(
+                    f"# {meta_path} lacks cfg.model.policy — serving fallback "
+                    "arch; a mismatched weight merge will not count as trained",
+                    flush=True,
+                )
     policy = UnifiedVideoActionPolicy(
         shape_meta={"action": {"shape": [2]}},
         vae_model_params={"autoencoder_path": None, "ddconfig": dd},
@@ -116,6 +135,10 @@ def build_policy(tier, act_steps=None, quant=None, ckpt=None):
         attn_impl=os.environ.get("UVA_ATTN_IMPL", "xla"),
         serving_quant=(
             quant if quant is not None else os.environ.get("UVA_SERVING_QUANT")
+        )
+        or None,
+        obs_codec=(
+            codec if codec is not None else os.environ.get("UVA_OBS_CODEC")
         )
         or None,
         vae_encode_chunk=64,
@@ -157,11 +180,23 @@ def pick_deployed_ckpt():
 
 def load_deployed_params(policy, key, ckpt):
     """Trained single-chip checkpoint when present (TRAINRUN.md run), else
-    random init (flagged in the output)."""
+    random init (flagged in the output). A merge that skipped ANY leaves
+    (size/key mismatch — e.g. the served arch silently fell back to defaults
+    because meta.json was unreadable) is treated as a FAILED trained load
+    (ADVICE r4): the quality evidence belongs to the full checkpoint, never to
+    a partially-merged hybrid."""
     params = policy.init_params(key)
     if ckpt and os.path.isdir(ckpt):
         try:
             restored = policy._load_mar_ckpt(ckpt, params["mar"])
+            skipped = getattr(policy, "_last_mar_import_skipped", 0)
+            if skipped:
+                print(
+                    f"# deployed ckpt {ckpt}: {skipped} leaves failed to "
+                    "merge -> serving it UNtrusted (trained_weights=false)",
+                    flush=True,
+                )
+                return {"mar": restored, "vae": params["vae"]}, False
             return {"mar": restored, "vae": params["vae"]}, True
         except Exception as e:
             print(f"# deployed ckpt load failed ({ckpt}): {e}", flush=True)
@@ -183,14 +218,22 @@ def measure_tier(policy, img_hw, tag, ckpt=None, quality=None):
     full_fn = policy._build_predict_cached_fn(4)
     cached_fn = policy._build_predict_cached_fn(2)
 
+    # obs codec engaged: the client ships packed YUV420 planes (half the
+    # bytes); encoding happens at obs-production time (a real camera ISP
+    # emits 4:2:0 natively), so like the raw frame generation it sits
+    # outside the timed loop. The jitted program decodes in-graph.
+    enc = lambda a: a  # noqa: E731
+    if getattr(policy, "obs_codec", None) == "yuv420":
+        from unified_video_action_tpu.utils.obs_codec import encode_yuv420 as enc
+
     first_frames = jax.device_put(
-        rng.randint(0, 255, (BATCH, 4, 3, img_hw, img_hw)).astype(np.uint8)
+        enc(rng.randint(0, 255, (BATCH, 4, 3, img_hw, img_hw)).astype(np.uint8))
     )
     # enough distinct host-side frames for the deepest indexing below: the
     # p50 loop uses WARMUP+3, the stream-priming loops index up to 2*STREAMS-1
     # (the windowed loop wraps with a modulo)
     fresh = [
-        rng.randint(0, 255, (BATCH, 2, 3, img_hw, img_hw)).astype(np.uint8)
+        enc(rng.randint(0, 255, (BATCH, 2, 3, img_hw, img_hw)).astype(np.uint8))
         for _ in range(max(WARMUP + ITERS, 2 * STREAMS))
     ]
     empty = jax.device_put(
@@ -263,7 +306,7 @@ def measure_tier(policy, img_hw, tag, ckpt=None, quality=None):
     if tag == "deployed":
         fresh_dev = [jax.device_put(f) for f in fresh]
         for fd in fresh_dev:
-            np.asarray(jax.device_get(fd[0, 0, 0, 0, 0]))
+            np.asarray(jax.device_get(fd[(0,) * fd.ndim]))
 
         def dispatch_dev(i, cache):
             return cached_fn(
@@ -324,6 +367,7 @@ def measure_tier(policy, img_hw, tag, ckpt=None, quality=None):
         "h2d_mb_per_s": round(
             fresh[0].nbytes * chunks_per_sec / BATCH / 1e6, 1
         ),
+        "obs_codec": getattr(policy, "obs_codec", None) or "raw",
         **(
             {
                 "trained_weights": trained,
@@ -375,13 +419,13 @@ def probe_backend():
 MIN_DEPLOYED_SCORE = 0.25  # well above the random-policy PushT coverage (~0.05)
 
 
-def _best_real_score(paths, digest=None, act_steps=None, quant=None):
+def _best_real_score(paths, digest=None, act_steps=None, quant=None, codec=None):
     """Best non-stub ``test_mean_score`` among eval log files, else None.
 
-    When ``digest`` / ``act_steps`` / ``quant`` are given, only logs whose
-    recorded provenance stamps match are accepted — evidence recorded on
-    different weights or a different serving config never gates this run
-    (ADVICE r3: evidence/weights provenance, act_steps laundering)."""
+    When ``digest`` / ``act_steps`` / ``quant`` / ``codec`` are given, only
+    logs whose recorded provenance stamps match are accepted — evidence
+    recorded on different weights or a different serving config never gates
+    this run (ADVICE r3: evidence/weights provenance, act_steps laundering)."""
     best = None
     for p in paths:
         try:
@@ -394,6 +438,8 @@ def _best_real_score(paths, digest=None, act_steps=None, quant=None):
             if act_steps is not None and str(log.get("act_steps")) != str(act_steps):
                 continue
             if quant is not None and log.get("serving_quant", "bf16") != quant:
+                continue
+            if codec is not None and log.get("obs_codec", "raw") != codec:
                 continue
             score = float(log["test_mean_score"])
         except Exception:
@@ -469,6 +515,30 @@ def quant_choice(digest=None, serve_steps="100"):
     return None
 
 
+def codec_choice(digest=None, serve_steps="100", serve_quant="bf16"):
+    """Quality-gated YUV420 obs codec for the deployed tier (VERDICT r4
+    next-round #2: the honest headline is pinned by H2D bytes/chunk). Engaged
+    only when a recorded real eval run through the EXACT serving stack bench
+    will run — same checkpoint digest, same act_steps, same quant, AND
+    obs_codec=yuv420 (the eval's predict path encodes/decodes every frame, so
+    the score measures the roundtrip) — kept >=90% of the full-fidelity score
+    and cleared MIN_DEPLOYED_SCORE. Returns the codec eval score, or None
+    (keep raw RGB)."""
+    full = deployed_quality(digest)
+    if full is None or full < MIN_DEPLOYED_SCORE:
+        return None
+    s = _best_real_score(
+        _eval_logs("eval_yuv420"),
+        digest=digest,
+        act_steps=serve_steps,
+        quant=serve_quant,
+        codec="yuv420",
+    )
+    if s is not None and s >= MIN_DEPLOYED_SCORE and s >= 0.9 * full:
+        return s
+    return None
+
+
 def select_headline(parity, deployed):
     """Pick the judged ``value``: the deployed flagship IF its weights are the
     real trained checkpoint AND a real recorded eval score clears
@@ -481,7 +551,16 @@ def select_headline(parity, deployed):
 
     Top-level mfu/latency mirror the headline tier; per-tier detail (incl.
     the round-1/2-comparable parity pipeline) stays in the sub-objects.
+    A tier that failed to measure (no ``chunks_per_sec``) is treated as
+    absent; with no measured tier at all the line still carries the metric
+    shape with value 0 (VERDICT r4 next-round #1: ALWAYS emit the JSON).
     """
+    if deployed is not None and "chunks_per_sec" not in deployed:
+        deployed = None
+    if parity is not None and "chunks_per_sec" not in parity:
+        parity = None
+    if parity is None and deployed is None:
+        return {"headline_tier": "none", "value": 0, "vs_baseline": 0.0}
     quality_ok = bool(
         deployed
         and deployed.get("trained_weights")
@@ -507,27 +586,57 @@ def select_headline(parity, deployed):
     return out
 
 
-def main():
-    probe_backend()
-    import jax
+# Fault tolerance (VERDICT r4 weak #1: rounds 3 AND 4 lost their measured
+# headline to one transient tunnel error because main() had none).
+RETRIES = int(os.environ.get("UVA_BENCH_RETRIES", "3"))
+RETRY_SLEEP_S = float(os.environ.get("UVA_BENCH_RETRY_SLEEP", "20"))
+PARTIAL_PATH = os.environ.get(
+    "UVA_BENCH_PARTIAL", "artifacts/bench_partial.json"
+)
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    tier = os.environ.get("UVA_BENCH_TIER", "both")
-    out = {
-        "metric": "pusht_policy_action_chunks_per_sec_per_chip",
-        "unit": "chunks/s",
-        "batch": BATCH,
-        "h2d_included": True,
-        "act_steps": os.environ.get("UVA_ACT_STEPS", "100"),
-        "peak_tf_per_s": V5E_BF16_PEAK / 1e12,
-    }
-    if tier in ("parity", "both"):
-        policy, img_hw = build_policy("parity")
-        m = measure_tier(policy, img_hw, "parity")
-        out["parity"] = m
-    if tier in ("deployed", "both"):
+def emit_partial(out):
+    """Persist the headline-so-far after every tier, atomically, so even a
+    SIGKILL mid-run leaves a valid JSON evidence file on disk."""
+    try:
+        snap = dict(out)
+        snap.update(select_headline(out.get("parity"), out.get("deployed")))
+        os.makedirs(os.path.dirname(PARTIAL_PATH) or ".", exist_ok=True)
+        with open(PARTIAL_PATH + ".tmp", "w") as f:
+            f.write(json.dumps(snap))
+        os.replace(PARTIAL_PATH + ".tmp", PARTIAL_PATH)
+    except Exception as e:  # evidence write must never kill the bench itself
+        print(f"# partial write failed: {e}", flush=True)
+
+
+def measure_tier_with_retries(make_policy, tag, **kw):
+    """Run one tier with up to RETRIES attempts; a fresh policy (fresh jit
+    caches — recompiles hit the persistent XLA cache) per attempt. The round-4
+    killer was a single transient relay disconnect
+    (``remote_compile: read body: response body closed``) that threw away an
+    already-measured parity tier. Returns (metrics|None, error|None)."""
+    last = None
+    for attempt in range(RETRIES):
+        try:
+            policy, img_hw = make_policy()
+            return measure_tier(policy, img_hw, tag, **kw), None
+        except Exception as e:
+            last = e
+            print(
+                f"# {tag} tier attempt {attempt + 1}/{RETRIES} failed: "
+                f"{type(e).__name__}: {e}",
+                flush=True,
+            )
+            if attempt + 1 < RETRIES:
+                time.sleep(RETRY_SLEEP_S * (attempt + 1))
+    return None, f"{type(last).__name__}: {last}"
+
+
+def run_deployed_tier(out):
+    """Deployed tier incl. its quality-gate resolution, fully guarded: a
+    crash while READING gates must degrade to a tier error, not kill the
+    bench."""
+    try:
         # one checkpoint choice shared by the quality gates AND the
         # measurement (ADVICE r3: evidence and weights must describe the same
         # artifact) — preferring a candidate with digest-matched evidence
@@ -550,24 +659,97 @@ def main():
         if os.environ.get("UVA_SERVING_QUANT") is None:
             int8_score = quant_choice(digest, serve_steps=serve_steps)
             quant = "int8" if int8_score is not None else ""
-        policy, img_hw = build_policy(
-            "deployed", act_steps=act_steps, quant=quant, ckpt=ckpt
+        serve_quant = (
+            quant if quant is not None else os.environ.get("UVA_SERVING_QUANT")
+        ) or "bf16"
+        # YUV420 obs codec engages only on recorded quality evidence for the
+        # exact (checkpoint, act_steps, quant) stack bench will serve; an
+        # explicit UVA_OBS_CODEC (incl. "raw") always wins
+        codec = None
+        codec_score = None
+        if os.environ.get("UVA_OBS_CODEC") is None:
+            codec_score = codec_choice(
+                digest, serve_steps=serve_steps, serve_quant=serve_quant
+            )
+            codec = "yuv420" if codec_score is not None else ""
+    except Exception as e:
+        out["deployed_error"] = f"gate resolution: {type(e).__name__}: {e}"
+        return
+    m, err = measure_tier_with_retries(
+        lambda: build_policy(
+            "deployed", act_steps=act_steps, quant=quant, ckpt=ckpt, codec=codec
+        ),
+        "deployed",
+        ckpt=ckpt,
+        quality=quality,
+    )
+    if m is None:
+        out["deployed_error"] = err
+        return
+    m["act_steps"] = serve_steps
+    if reduced:
+        m["reduced_step_score"] = reduced_score
+    m["serving_quant"] = quant or os.environ.get("UVA_SERVING_QUANT") or "bf16"
+    if int8_score is not None:
+        m["int8_score"] = int8_score
+    if codec_score is not None:
+        m["codec_score"] = codec_score
+    if ckpt:
+        m["ckpt_source"] = ckpt
+        m["ckpt_digest"] = digest
+    out["deployed"] = m
+
+
+def main():
+    probe_backend()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/uva_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    tier = os.environ.get("UVA_BENCH_TIER", "both")
+    out = {
+        "metric": "pusht_policy_action_chunks_per_sec_per_chip",
+        "unit": "chunks/s",
+        "batch": BATCH,
+        "h2d_included": True,
+        "act_steps": os.environ.get("UVA_ACT_STEPS", "100"),
+        "peak_tf_per_s": V5E_BF16_PEAK / 1e12,
+    }
+    emit_partial(out)
+    if tier in ("parity", "both"):
+        m, err = measure_tier_with_retries(
+            lambda: build_policy("parity"), "parity"
         )
-        m = measure_tier(policy, img_hw, "deployed", ckpt=ckpt, quality=quality)
-        m["act_steps"] = serve_steps
-        if reduced:
-            m["reduced_step_score"] = reduced_score
-        m["serving_quant"] = policy.serving_quant or "bf16"
-        if int8_score is not None:
-            m["int8_score"] = int8_score
-        if ckpt:
-            m["ckpt_source"] = ckpt
-            m["ckpt_digest"] = digest
-        out["deployed"] = m
+        if m is not None:
+            out["parity"] = m
+        else:
+            out["parity_error"] = err
+        emit_partial(out)
+    if tier in ("deployed", "both"):
+        run_deployed_tier(out)
+        emit_partial(out)
 
     out.update(select_headline(out.get("parity"), out.get("deployed")))
+    emit_partial(out)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:
+        # last-ditch guarantee: the driver must ALWAYS see one JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "pusht_policy_action_chunks_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "chunks/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )

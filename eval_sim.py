@@ -84,6 +84,7 @@ def main(argv=None):
     log["ckpt_digest"] = ckpt_digest(args.checkpoint)
     log["act_steps"] = str(policy.mar_cfg.act_diff_testing_steps)
     log["serving_quant"] = policy.serving_quant or "bf16"
+    log["obs_codec"] = policy.obs_codec or "raw"
 
     name = os.path.basename(os.path.normpath(args.checkpoint))
     if "stub" in log.get("env_backend", ""):

@@ -16,7 +16,7 @@
 # (reference trains this on 8 GPUs).
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/round4
+OUT=${VIABILITY_OUT:-artifacts/round5}
 mkdir -p "$OUT"
 SUMMARY="$OUT/mar_base_256_viability2.json"
 

@@ -94,3 +94,39 @@ def test_stub_backend_scores_never_trip_early_stop(tmp_path, monkeypatch):
     metrics = ws.run()
     assert len(calls) == 5  # constant stub scores, yet the run completed
     assert "early_stopped" not in metrics
+
+
+@pytest.mark.slow
+def test_metric_early_stop_without_rollouts(tmp_path, monkeypatch):
+    """Rollout-free runs (stage-1 video pretrain) early-stop on the topk
+    monitor metric plateau instead (VERDICT r4 #3: convergence = plateau,
+    not a fixed epoch count). Monitor mode=min is sign-normalized."""
+    from unified_video_action_tpu.training.workspace import TrainWorkspace
+
+    cfg = _non_debug(_tiny_cfg(tmp_path), tmp_path, epochs=8, patience=2,
+                     rollout_every=0)
+    cfg["checkpoint"]["topk"]["monitor_key"] = "video_fvd_vae"
+    cfg["checkpoint"]["topk"]["mode"] = "min"
+    cfg["checkpoint"]["topk"]["format_str"] = (
+        "epoch={epoch:04d}-fvd={video_fvd_vae:.0f}"
+    )
+    cfg["training"]["sample_every"] = 1  # FVD every epoch is the signal
+
+    fvds = iter([100.0, 80.0, 85.0, 90.0, 70.0, 60.0, 50.0, 40.0])
+    calls = []
+
+    def fake_fvd(policy, params, loader, key, **kw):
+        v = next(fvds)
+        calls.append(v)
+        return {"video_fvd_vae": v}
+
+    from unified_video_action_tpu.eval import offline as offline_mod
+
+    monkeypatch.setattr(offline_mod, "test_video_fvd", fake_fvd)
+
+    ws = TrainWorkspace(cfg, output_dir=str(tmp_path / "run"))
+    metrics = ws.run()
+    # best=80 at epoch 1; epochs 2,3 stale (85, 90) -> stop after 4 evals
+    assert len(calls) == 4
+    assert ws.epoch == 4
+    assert metrics.get("early_stopped") is True

@@ -31,6 +31,7 @@ from unified_video_action_tpu.models.vae import KLVae, LATENT_SCALE, sample_post
 from unified_video_action_tpu.models import torch_import
 from unified_video_action_tpu.utils import frames as frame_util
 from unified_video_action_tpu.utils import image as image_util
+from unified_video_action_tpu.utils import obs_codec as obs_codec_util
 from unified_video_action_tpu.utils.language import get_text_encoder
 
 Array = jax.Array
@@ -66,6 +67,7 @@ class UnifiedVideoActionPolicy:
         optimizer: Optional[dict] = None,
         vae_encode_chunk: Optional[int] = None,
         serving_quant: Optional[str] = None,
+        obs_codec: Optional[str] = None,
         **kwargs,
     ):
         self.task_name = task_name or "pusht"
@@ -154,6 +156,13 @@ class UnifiedVideoActionPolicy:
         if serving_quant not in (None, "", "none", "int8"):
             raise ValueError(f"serving_quant must be None or 'int8', got {serving_quant!r}")
         self.serving_quant = serving_quant if serving_quant == "int8" else None
+        # Serving-only observation codec (utils/obs_codec.py): host encodes
+        # frames to planar YUV420 before the H2D transfer, the jitted predict
+        # program decodes them back — halves wire bytes on the link-bound
+        # serving path. Quality-gated like int8 (eval logs stamp obs_codec).
+        if obs_codec not in (None, "", "none", "raw", "yuv420"):
+            raise ValueError(f"obs_codec must be None or 'yuv420', got {obs_codec!r}")
+        self.obs_codec = obs_codec if obs_codec == "yuv420" else None
         self.mar_serving = (
             Mar(dataclasses.replace(self.mar_cfg, quant=True))
             if self.serving_quant
@@ -298,6 +307,9 @@ class UnifiedVideoActionPolicy:
             restored.pop("opt_state", None)
             src = restored.get("ema_params") or restored["mar_params"]
             merged, skipped = torch_import.merge_params(init_tree, src)
+            # exposed so callers (bench.py deployed tier, ADVICE r4) can
+            # refuse to treat a partial merge as the trained checkpoint
+            self._last_mar_import_skipped = len(skipped)
             print(
                 f"[mar import] stage bootstrap from {path}: "
                 f"{len(skipped)} new/mismatched leaves kept at init"
@@ -324,6 +336,7 @@ class UnifiedVideoActionPolicy:
             diffloss_act_depth=c.diffloss_act_d,
         )
         merged, skipped = torch_import.merge_params(init_tree, imported)
+        self._last_mar_import_skipped = len(skipped)
         if skipped:
             print(f"[mar import] skipped {len(skipped)} leaves (size/key mismatch)")
         return jax.tree.map(jnp.asarray, merged)
@@ -378,6 +391,11 @@ class UnifiedVideoActionPolicy:
         temperature = float(_cfg_get(self.amp, "temperature", 1.0))
 
         def _prep_frames(frames):
+            if self.obs_codec == "yuv420" and frames.ndim == 3:
+                # packed (B, T, P) uint8 planar YUV420 off the wire -> RGB
+                # [0,1]; the ~10 elementwise decode ops fuse into the VAE
+                # encode (utils/obs_codec.py)
+                frames = obs_codec_util.decode_yuv420(frames)
             if frames.dtype == jnp.uint8:
                 frames = frames.astype(jnp.float32) / 255.0
             frames = image_util.resize_video(frames, c.img_size)
@@ -544,9 +562,12 @@ class UnifiedVideoActionPolicy:
             self._predict_cache[fn_key] = self._build_predict_cached_fn(
                 len(new_positions)
             )
+        new_np = image_np[:, new_positions]
+        if self.obs_codec == "yuv420":
+            # host/client-side encode: only the packed planes cross the wire
+            new_np = obs_codec_util.encode_yuv420(new_np)
         nact, cond = self._predict_cache[fn_key](
-            params, jnp.asarray(image_np[:, new_positions]), cached, key,
-            **modalities,
+            params, jnp.asarray(new_np), cached, key, **modalities,
         )
         return nact, cond
 
@@ -590,6 +611,8 @@ class UnifiedVideoActionPolicy:
         sel = image_np[:, idx]
         if sel.dtype != np.uint8 and sel.max() <= 1.0 + 1e-6:
             sel = np.round(sel * 255.0).astype(np.uint8)
+        if self.obs_codec == "yuv420":
+            sel = obs_codec_util.encode_yuv420(sel)
         image = jnp.asarray(sel)
 
         text_latents = None

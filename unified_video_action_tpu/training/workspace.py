@@ -141,6 +141,14 @@ class TrainWorkspace:
         if early_stop_patience is not None:
             early_stop_patience = int(early_stop_patience)
         early = {"best": float("-inf"), "stale": 0, "stop": False}
+        # Rollout-free runs (rollout_every<=0, e.g. stage-1 video pretrain)
+        # fall back to the topk monitor metric for patience — "train stage 1
+        # to convergence (FVD-vae plateau, not a fixed epoch count)"
+        # (VERDICT r4 next-round #3). The sign is normalized so "higher is
+        # better" internally regardless of the monitor's mode.
+        topk_cfg0 = dict(cfg.get("checkpoint", {}).get("topk", {}) or {})
+        early_monitor = topk_cfg0.get("monitor_key", "test_mean_score")
+        early_sign = -1.0 if topk_cfg0.get("mode", "max") == "min" else 1.0
 
         # dataset (instantiated from its _target_ via the registry)
         ds_cfg = dict(cfg["task"]["dataset"])
@@ -249,9 +257,16 @@ class TrainWorkspace:
             format_str=topk_cfg.get("format_str", "epoch={epoch:04d}"),
         )
 
-        # env runner (optional)
+        # env runner (optional) — skipped entirely when rollouts can never
+        # fire (rollout_every<=0): building 50+ sim envs costs startup time
+        # and host memory that pure-training probes (mar_base_256_viability)
+        # should not pay (ADVICE r4). Early stopping needs rollouts anyway.
         env_runner = None
-        if self.policy.mar_cfg.predict_action and "env_runner" in cfg.get("task", {}):
+        if (
+            rollout_every > 0
+            and self.policy.mar_cfg.predict_action
+            and "env_runner" in cfg.get("task", {})
+        ):
             from unified_video_action_tpu.runners.base import load_env_runner
 
             run_cfg = cfg
@@ -534,6 +549,29 @@ class TrainWorkspace:
                                 f" {self.epoch}"
                             )
 
+            # metric-based early stop for rollout-free runs: patience on the
+            # topk monitor (e.g. stage-1 video_fvd_vae, mode=min) so
+            # "convergence" is a plateau, not a guessed epoch count
+            if (
+                early_stop_patience is not None
+                and rollout_every <= 0
+                and early_monitor in step_log
+            ):
+                score = early_sign * float(step_log[early_monitor])
+                if score > early["best"]:
+                    early["best"], early["stale"] = score, 0
+                else:
+                    early["stale"] += 1
+                    if early["stale"] >= early_stop_patience:
+                        early["stop"] = True
+                        step_log["early_stopped"] = True
+                        print(
+                            f"[early-stop] no {early_monitor} improvement in"
+                            f" {early['stale']} evals (best"
+                            f" {early_sign * early['best']:.4f}); stopping"
+                            f" after epoch {self.epoch}"
+                        )
+
             logger.log(step_log, step=self.global_step)
             tracker.log(step_log, step=self.global_step)
             fvd_grid = os.path.join(self.output_dir, "media", "real_vs_pred.gif")
@@ -573,13 +611,18 @@ class TrainWorkspace:
                 normalizer=self.policy.normalizer, epoch=self.epoch,
             )
             print(f"[preempt] checkpoint saved at epoch {self.epoch}; exiting")
-        elif num_epochs > 0 and (
-            checkpoint_every <= 0 or (self.epoch - 1) % checkpoint_every != 0
+        elif (
+            num_epochs > 0
+            and checkpoint_every > 0
+            and (self.epoch - 1) % checkpoint_every != 0
         ):
             # the run's final epoch (normal or early-stopped) falls between
             # periodic saves — always publish it as `latest` (the periodic
             # cadence is a crash-safety knob, not a statement about which
-            # weights matter)
+            # weights matter). checkpoint_every<=0 means "never save" (the
+            # pure-training-envelope contract, ADVICE r4): no final save
+            # either, so its device_get of the full state never pollutes a
+            # measured wall-time budget.
             cfg_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
             ckpt_lib.save_checkpoint(
                 latest_path, state, cfg=cfg_dict,
