@@ -47,8 +47,22 @@ def main():
     from unified_video_action_tpu.data.replay_buffer import ReplayBuffer
     from unified_video_action_tpu.models.vae import KLVae, sample_posterior
 
-    rb = ReplayBuffer.load(args.data, keys=["img"])
-    imgs = np.asarray(rb["img"])  # (N, H, W, 3) uint8
+    if os.path.isdir(args.data):
+        # LIBERO-layout directory of per-task hdf5s (data/demo_*/obs/agentview_rgb),
+        # e.g. the kitchen-suite demo corpus from scripts/gen_kitchen_demos.py
+        import glob as _glob
+
+        import h5py
+
+        chunks = []
+        for path in sorted(_glob.glob(os.path.join(args.data, "*.hdf5"))):
+            with h5py.File(path, "r") as f:
+                for demo in f["data"].values():
+                    chunks.append(np.asarray(demo["obs/agentview_rgb"]))
+        imgs = np.concatenate(chunks, axis=0)
+    else:
+        rb = ReplayBuffer.load(args.data, keys=["img"])
+        imgs = np.asarray(rb["img"])  # (N, H, W, 3) uint8
     if len(imgs) > args.max_frames:
         sel = np.random.default_rng(args.seed).choice(
             len(imgs), args.max_frames, replace=False

@@ -29,7 +29,12 @@ import numpy as np
 
 from unified_video_action_tpu.parallel import mesh as mesh_lib
 
-__all__ = ["DeviceReplayDataset", "window_index_table"]
+__all__ = [
+    "DeviceLiberoDataset",
+    "DeviceReplayDataset",
+    "make_device_dataset",
+    "window_index_table",
+]
 
 
 def window_index_table(sampler) -> np.ndarray:
@@ -50,6 +55,122 @@ def window_index_table(sampler) -> np.ndarray:
         row[ss:se] = np.arange(bs, be, dtype=np.int32)
         row[se:] = be - 1
     return table
+
+
+class DeviceLiberoDataset:
+    """Device-resident store for LIBERO-layout language-conditioned replay
+    datasets (data/libero_dataset.py) — the kitchen-suite training input path.
+
+    The training loss consumes exactly three leaves from a libero batch
+    (policy/policy.py compute_loss): the main rgb track, the full-horizon
+    action window, and the per-episode CLIP text latent. All three live in
+    HBM; per step the host ships only sample indices + the 8-frame selection,
+    same contract as :class:`DeviceReplayDataset`. Low-dim obs and language
+    tokens are train-loss-inert for this task family and stay host-side (the
+    val/rollout paths use the host loader). The reference streams full
+    float32 horizons through its DataLoader workers every step
+    (libero_replay_image_dataset.py:315-439).
+    """
+
+    def __init__(self, dataset, max_bytes: Optional[int] = None):
+        rb = dataset.replay_buffer
+        img_key = dataset.rgb_keys[0]
+        img = np.asarray(rb[img_key])        # (N, H, W, C) uint8
+        action = np.asarray(rb["action"]).astype(np.float32)
+        table = window_index_table(dataset.sampler)
+        if dataset.episode_latents is None:
+            raise ValueError(
+                "device-resident libero store needs "
+                "task.dataset.emit_language_latents=true"
+            )
+        latents = np.asarray(dataset.episode_latents, dtype=np.float32)
+        # per-sample episode row for the text-latent lookup — same
+        # searchsorted the host __getitem__ uses
+        starts = np.asarray(
+            [int(idx[0]) for idx in dataset.sampler.indices], dtype=np.int64
+        )
+        ep_of_sample = np.searchsorted(
+            rb.episode_ends, starts, side="right"
+        ).astype(np.int32)
+
+        nbytes = (
+            img.nbytes + action.nbytes + table.nbytes
+            + latents.nbytes + ep_of_sample.nbytes
+        )
+        if max_bytes is not None and nbytes > max_bytes:
+            raise ValueError(
+                f"device-resident store ({nbytes/1e9:.2f} GB) exceeds the "
+                f"HBM budget ({max_bytes/1e9:.2f} GB)"
+            )
+        self.nbytes = nbytes
+        self.horizon = int(dataset.horizon)
+        self.img_key = img_key
+        self.data_aug = False  # kitchen recipe ships raw uint8 (no host jitter)
+
+        self.img = jax.device_put(img)
+        self.action = jax.device_put(action)
+        self.table = jax.device_put(table)
+        self.latents = jax.device_put(latents)
+        self.ep_of_sample = jax.device_put(ep_of_sample)
+        self._n = table.shape[0]
+
+    def __len__(self) -> int:
+        return self._n
+
+    # resident arrays are traced arguments, not closed-over constants — see
+    # the NOTE on DeviceReplayDataset._gather
+    @staticmethod
+    @jax.jit
+    def _gather(
+        img: jnp.ndarray,            # (N, H, W, C) uint8 resident store
+        action: jnp.ndarray,         # (N, Da) float32
+        table: jnp.ndarray,          # (n_samples, L) int32
+        latents: jnp.ndarray,        # (n_episodes, D) float32
+        ep_of_sample: jnp.ndarray,   # (n_samples,) int32
+        idxs: jnp.ndarray,           # (B,) int32
+        frame_indices: jnp.ndarray,  # (F,) int32
+    ):
+        rows = table[idxs]                       # (B, L)
+        img_rows = rows[:, frame_indices]        # (B, F)
+        image = jnp.transpose(img[img_rows], (0, 1, 4, 2, 3))  # uint8 BFCHW
+        return {
+            "image": image,
+            "action": action[rows],
+            "language_latents": latents[ep_of_sample[idxs]],
+        }
+
+    def gather(
+        self,
+        idxs: np.ndarray,
+        frame_indices: Optional[np.ndarray] = None,
+        aug: Optional[Dict[str, np.ndarray]] = None,
+        mesh=None,
+    ) -> Dict[str, Any]:
+        idxs = np.asarray(idxs, dtype=np.int32)
+        if frame_indices is None:
+            frame_indices = np.arange(self.horizon, dtype=np.int32)
+        frame_indices = np.asarray(frame_indices, dtype=np.int32)
+        out = self._gather(
+            self.img, self.action, self.table, self.latents,
+            self.ep_of_sample, idxs, frame_indices,
+        )
+        batch = {
+            "obs": {self.img_key: out["image"]},
+            "action": out["action"],
+            "language_latents": out["language_latents"],
+        }
+        if mesh is not None and mesh.size > 1:
+            batch = jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+        return batch
+
+
+def make_device_dataset(dataset):
+    """Device-resident store matching the dataset family: LIBERO-layout
+    datasets (rgb_keys + per-episode text latents) get the language-
+    conditioned store, PushT-style replay datasets the img/state/action one."""
+    if hasattr(dataset, "rgb_keys"):
+        return DeviceLiberoDataset(dataset)
+    return DeviceReplayDataset(dataset)
 
 
 class DeviceReplayDataset:

@@ -54,6 +54,22 @@ def language_from_filename(path: str) -> str:
     return text.replace("_", " ").strip()
 
 
+def prompt_from_filename(path: str) -> str:
+    """Natural-language instruction for a demo file — the SAME string the
+    eval runner conditions on (runners/libero_runner.py:62,89), so the
+    training latents and eval latents come from identical prompts even under
+    the offline hash-encoder fallback (which hashes the raw string)."""
+    from unified_video_action_tpu.envs.kitchen_env import (
+        KITCHEN_TASK_PROMPTS,
+        task_from_name,
+    )
+
+    task = task_from_name(path)
+    if task is not None:
+        return KITCHEN_TASK_PROMPTS[task]
+    return language_from_filename(path)
+
+
 def tokenize_language(text: str, max_length: int = 77) -> np.ndarray:
     """(2, max_length) stacked [input_ids; attention_mask]. Uses the CLIP
     tokenizer when available, else a deterministic hash tokenizer."""
@@ -97,6 +113,7 @@ class LiberoReplayImageDataset:
         max_episodes_per_task: Optional[int] = None,
         data_aug: bool = False,
         language_max_length: int = 77,
+        emit_language_latents: bool = False,
         **kwargs,
     ):
         assert h5py is not None
@@ -110,11 +127,29 @@ class LiberoReplayImageDataset:
             if v.get("type") == "low_dim" and k != "language"
         ]
 
+        # Per-episode text latents for the training batches: the reference
+        # conditions the MAR on CLIP text features during libero training
+        # (libero_replay_image_dataset.py:315-439 feeds tokens; the policy
+        # encodes them) — here the dataset pre-encodes once per task file
+        # with the same encoder the policy/eval runner uses (hash fallback
+        # offline), mirroring UmiMultiDataset.get_language_latent.
+        self.emit_language_latents = bool(emit_language_latents)
+        text_encoder = None
+        if self.emit_language_latents:
+            from unified_video_action_tpu.utils.language import get_text_encoder
+
+            text_encoder, _ = get_text_encoder("libero", "clip")
+
         self.replay_buffer = ReplayBuffer.create_empty()
         episode_language: List[np.ndarray] = []
+        episode_latents: List[np.ndarray] = []
         for path in files:
-            tokens = tokenize_language(
-                language_from_filename(path), language_max_length
+            prompt = prompt_from_filename(path)
+            tokens = tokenize_language(prompt, language_max_length)
+            latent = (
+                text_encoder.encode(prompt)[0].astype(np.float32)
+                if text_encoder is not None
+                else None
             )
             with h5py.File(path, "r") as f:
                 demos = sorted(
@@ -127,8 +162,11 @@ class LiberoReplayImageDataset:
                     ep: Dict[str, np.ndarray] = {}
                     for k in self.rgb_keys:
                         img = g["obs"][k][:]
-                        # agentview renders upside down (reference :222-223)
-                        ep[k] = img[:, ::-1, ::-1]
+                        # agentview renders bottom-up; the reference's
+                        # rot180-then-horizontal-flip (:218-223) nets out to
+                        # a vertical flip only — same as the eval adapter's
+                        # obs path (runners/libero_runner.py `img[::-1]`)
+                        ep[k] = img[:, ::-1, :]
                     for k in self.lowdim_keys:
                         ep[k] = g["obs"][k][:]
                     ep["action"] = convert_robomimic_actions(
@@ -138,6 +176,11 @@ class LiberoReplayImageDataset:
                     ep["language"] = np.tile(tokens[None], (n, 1, 1))
                     self.replay_buffer.add_episode(ep)
                     episode_language.append(tokens)
+                    if latent is not None:
+                        episode_latents.append(latent)
+        self.episode_latents = (
+            np.stack(episode_latents) if episode_latents else None
+        )
 
         val_mask = get_val_mask(self.replay_buffer.n_episodes, val_ratio, seed)
         self.train_mask = ~val_mask
@@ -201,12 +244,26 @@ class LiberoReplayImageDataset:
         sample = self.sampler.sample_sequence(idx)
         obs: Dict[str, np.ndarray] = {}
         for k in self.rgb_keys:
-            img = sample[k].astype(np.float32) / 255.0
-            img = np.moveaxis(img, -1, 1)
             if self.transforms is not None:
+                img = sample[k].astype(np.float32) / 255.0
+                img = np.moveaxis(img, -1, 1)
                 img = self.transforms(img, sample_seed=idx)
+            else:
+                # no host-side transform -> ship native uint8 (4x fewer
+                # bytes over the host link; train_step normalizes on device
+                # via image_util.to_unit_float, same as the PushT path)
+                img = np.moveaxis(sample[k], -1, 1)
             obs[k] = img
         for k in self.lowdim_keys:
             obs[k] = sample[k].astype(np.float32)
         obs["language"] = sample["language"].astype(np.int64)
-        return {"obs": obs, "action": sample["action"].astype(np.float32)}
+        item = {"obs": obs, "action": sample["action"].astype(np.float32)}
+        if self.emit_language_latents and self.episode_latents is not None:
+            buffer_start = int(self.sampler.indices[idx][0])
+            ep_idx = int(
+                np.searchsorted(
+                    self.replay_buffer.episode_ends, buffer_start, side="right"
+                )
+            )
+            item["language_latents"] = self.episode_latents[ep_idx]
+        return item

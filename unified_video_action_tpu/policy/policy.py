@@ -528,13 +528,7 @@ class UnifiedVideoActionPolicy:
         T_obs = image_np.shape[1]
         idx = list(frame_util.select_frame_indices(T_obs, eval=True))
 
-        text_latents = None
-        if self.language_emb_model is not None and language_goal is not None:
-            if "umi" in self.task_name:
-                # umi serving passes precomputed CLIP latents through
-                text_latents = jnp.asarray(language_goal)
-            else:
-                text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
+        text_latents = self._encode_language_goal(language_goal)
         history_actions = None
         if self.use_history_action and "past_action" in obs_dict:
             history_actions = jnp.asarray(obs_dict["past_action"])
@@ -615,13 +609,7 @@ class UnifiedVideoActionPolicy:
             sel = obs_codec_util.encode_yuv420(sel)
         image = jnp.asarray(sel)
 
-        text_latents = None
-        if self.language_emb_model is not None and language_goal is not None:
-            if "umi" in self.task_name:
-                # umi serving passes precomputed CLIP latents through
-                text_latents = jnp.asarray(language_goal)
-            else:
-                text_latents = jnp.asarray(self.text_encoder.encode(language_goal))
+        text_latents = self._encode_language_goal(language_goal)
 
         history_actions = None
         if self.use_history_action and "past_action" in obs_dict:
@@ -636,6 +624,18 @@ class UnifiedVideoActionPolicy:
             text_latents=text_latents, proprio=proprio,
             history_actions=history_actions,
         )
+
+    def _encode_language_goal(self, language_goal):
+        """str/list[str] -> CLIP text latents; ndarray passes straight
+        through as precomputed latents (umi serving, and the training-val
+        path which reuses the dataset's per-episode latents)."""
+        if self.language_emb_model is None or language_goal is None:
+            return None
+        if "umi" in self.task_name or isinstance(
+            language_goal, (np.ndarray, jnp.ndarray)
+        ):
+            return jnp.asarray(language_goal)
+        return jnp.asarray(self.text_encoder.encode(language_goal))
 
     def _build_proprio_eval(self, obs_dict, frame_idx=None):
         if not self.use_proprioception:
@@ -744,7 +744,9 @@ class UnifiedVideoActionPolicy:
             target, cond, task_mode, k_fwd,
             history_actions=history,
             actions=future,
-            text_latents=batch.get("language_latents"),
+            text_latents=(
+                batch.get("language_latents") if c.language_emb_model else None
+            ),
             proprio=proprio,
             proprio_target=proprio_target,
             train=True,

@@ -192,6 +192,10 @@ class TrainWorkspace:
             n_data=n_data, devices=_jax.devices()[:n_data]
         )
         steps_per_epoch = max(len(loader), 1)
+        if max_train_steps is not None:
+            # capped epochs (reshuffled subsets): the LR schedule must decay
+            # over the steps that will actually run, not the full loader
+            steps_per_epoch = min(steps_per_epoch, int(max_train_steps))
         total_steps = steps_per_epoch * num_epochs
         opt_cfg = self.policy.optimizer_cfg
         tx = make_optimizer(
@@ -287,11 +291,11 @@ class TrainWorkspace:
         device_data = None
         if bool(cfg["dataloader"].get("device_resident", False)):
             from unified_video_action_tpu.data.device_dataset import (
-                DeviceReplayDataset,
+                make_device_dataset,
             )
 
             try:
-                device_data = DeviceReplayDataset(dataset)
+                device_data = make_device_dataset(dataset)
                 print(
                     f"[device_data] {device_data.nbytes/1e9:.2f} GB resident "
                     f"({len(device_data)} samples)"
@@ -647,13 +651,20 @@ class TrainWorkspace:
         if not self.policy.mar_cfg.predict_action:
             return None
         obs = batch["obs"]
-        T = obs["image"].shape[1]
+        from unified_video_action_tpu.utils.image import main_image_key
+
+        img_key = main_image_key(self.policy.task_name, obs)
+        T = obs[img_key].shape[1]
         n_obs = T // 2
         obs_dict = {
             k: np.asarray(v[:, :n_obs]) for k, v in obs.items()
         }
         params = {"mar": state.ema_params, "vae": state.vae_params}
-        result = self.policy.predict_action(params, obs_dict, key)
+        lang = batch.get("language_latents")
+        result = self.policy.predict_action(
+            params, obs_dict, key,
+            language_goal=np.asarray(lang) if lang is not None else None,
+        )
         actions = np.asarray(batch["action"])
         _, future = frame_util.split_trajectory(
             actions, T, self.policy.shift_action, self.policy.use_history_action
@@ -667,7 +678,7 @@ class TrainWorkspace:
             )
 
             _write_keypoint_overlay(
-                np.asarray(obs["image"][0]), future[0], pred[0],
+                np.asarray(obs[img_key][0]), future[0], pred[0],
                 keypoint_video_path,
             )
         n = min(pred.shape[-1], 9)
