@@ -528,7 +528,9 @@ class UnifiedVideoActionPolicy:
         T_obs = image_np.shape[1]
         idx = list(frame_util.select_frame_indices(T_obs, eval=True))
 
-        text_latents = self._encode_language_goal(language_goal)
+        text_latents = self._encode_language_goal(
+            language_goal, batch=image_np.shape[0]
+        )
         history_actions = None
         if self.use_history_action and "past_action" in obs_dict:
             history_actions = jnp.asarray(obs_dict["past_action"])
@@ -609,7 +611,9 @@ class UnifiedVideoActionPolicy:
             sel = obs_codec_util.encode_yuv420(sel)
         image = jnp.asarray(sel)
 
-        text_latents = self._encode_language_goal(language_goal)
+        text_latents = self._encode_language_goal(
+            language_goal, batch=image_np.shape[0]
+        )
 
         history_actions = None
         if self.use_history_action and "past_action" in obs_dict:
@@ -625,17 +629,24 @@ class UnifiedVideoActionPolicy:
             history_actions=history_actions,
         )
 
-    def _encode_language_goal(self, language_goal):
+    def _encode_language_goal(self, language_goal, batch=None):
         """str/list[str] -> CLIP text latents; ndarray passes straight
         through as precomputed latents (umi serving, and the training-val
-        path which reuses the dataset's per-episode latents)."""
+        path which reuses the dataset's per-episode latents). A single
+        goal latent is tiled to ``batch`` so one task prompt can condition
+        a whole vector-env rollout batch (reference broadcasts the repeated
+        goal string per env, env_runner/libero_image_runner.py:332-338)."""
         if self.language_emb_model is None or language_goal is None:
             return None
         if "umi" in self.task_name or isinstance(
             language_goal, (np.ndarray, jnp.ndarray)
         ):
-            return jnp.asarray(language_goal)
-        return jnp.asarray(self.text_encoder.encode(language_goal))
+            lat = jnp.asarray(language_goal)
+        else:
+            lat = jnp.asarray(self.text_encoder.encode(language_goal))
+        if batch is not None and lat.ndim == 2 and lat.shape[0] == 1 and batch > 1:
+            lat = jnp.broadcast_to(lat, (batch,) + lat.shape[1:])
+        return lat
 
     def _build_proprio_eval(self, obs_dict, frame_idx=None):
         if not self.use_proprioception:
