@@ -27,12 +27,13 @@ git add -A "$OUT" && git commit -q -m "Kitchen-suite training logs" 2>/dev/null
 
 BEST=$(ls -d "$RUN/checkpoints/epoch="* 2>/dev/null \
     | grep -v -e "\.tmp$" -e "\.old$" \
-    | awk -F'test_mean_score=' 'NF==2 {print $2 "\t" $0}' \
+    | awk -F'test_mean_score=' 'NF==2 && $2+0 > 0 {print $2 "\t" $0}' \
     | sort -g -r | head -1 | cut -f2)
+# all-zero topk scores carry no ranking signal: evaluate the final weights
 BEST=${BEST:-$RUN/checkpoints/latest}
 note "eval checkpoint: $BEST"
 
-note "per-task protocol ($${KEVAL_SEEDS:-10} seeds/task)"
+note "per-task protocol (${KEVAL_SEEDS:-10} seeds/task)"
 rm -rf data/outputs/kitchen_eval
 timeout -k 120 "${KEVAL_TIMEOUT:-2400}" python -u eval_sim.py -c "$BEST" \
     -o data/outputs/kitchen_eval \
